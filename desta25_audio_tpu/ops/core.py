@@ -1,0 +1,208 @@
+"""Core functional NN building blocks.
+
+The whole framework uses plain parameter pytrees (nested dicts of
+``jax.Array``) with pure ``init_*`` / ``*_apply`` functions.  This keeps
+sharding annotations, freezing, and checkpoint interop fully explicit — the
+idiomatic pattern for GSPMD/pjit training on TPU.
+
+Numerics policy: parameters may be stored in bfloat16; all normalization
+statistics, softmax, and matmul accumulations run in float32
+(``preferred_element_type``), then are cast back to the activation dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+
+def normal_init(key, shape, stddev=0.02, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * jnp.asarray(stddev, dtype)
+
+
+def kaiming_uniform(key, shape, fan_in=None, dtype=jnp.float32):
+    """torch.nn.Linear / Conv default init (kaiming uniform, a=sqrt(5))."""
+    if fan_in is None:
+        fan_in = shape[0] if len(shape) == 2 else int(math.prod(shape[1:]))
+    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def uniform_bias(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key, in_dim: int, out_dim: int, use_bias: bool = True,
+                dtype=jnp.float32, stddev: Optional[float] = None) -> Params:
+    """Weight stored as [in_dim, out_dim] (transposed vs torch)."""
+    wkey, bkey = jax.random.split(key)
+    if stddev is not None:
+        w = normal_init(wkey, (in_dim, out_dim), stddev, dtype)
+    else:
+        w = kaiming_uniform(wkey, (out_dim, in_dim), fan_in=in_dim,
+                            dtype=dtype).T
+    p: Params = {"w": w}
+    if use_bias:
+        p["b"] = uniform_bias(bkey, (out_dim,), in_dim, dtype)
+    return p
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Norms
+# ---------------------------------------------------------------------------
+
+
+def init_layer_norm(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def init_rms_norm(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype)}
+
+
+def rms_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # Erf-based gelu: matches torch.nn.functional.gelu default used by
+    # Whisper (modeling_desta25.py:563-564) and BERT.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------------------
+# Attention (XLA path; Pallas flash kernels live in ops/flash_attention.py)
+# ---------------------------------------------------------------------------
+
+
+def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        scale: Optional[float] = None) -> jnp.ndarray:
+    """Multi-head attention core.
+
+    q: [B, Tq, H, D]; k/v: [B, Tk, Hkv, D] with H % Hkv == 0 (GQA).
+    mask: broadcastable to [B, H, Tq, Tk]; True = attend.
+    Returns [B, Tq, H, D].  Softmax in float32.
+    """
+    B, Tq, H, D = q.shape
+    Hkv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def causal_mask(Tq: int, Tk: int, offset: int = 0) -> jnp.ndarray:
+    """[1, 1, Tq, Tk] boolean causal mask; query i attends keys <= i+offset."""
+    qi = jnp.arange(Tq)[:, None] + offset
+    ki = jnp.arange(Tk)[None, :]
+    return (ki <= qi)[None, None]
+
+
+# ---------------------------------------------------------------------------
+# Conv1d (NCW semantics like torch, implemented over NWC for TPU)
+# ---------------------------------------------------------------------------
+
+
+def init_conv1d(key, in_ch: int, out_ch: int, kernel: int,
+                dtype=jnp.float32) -> Params:
+    wkey, bkey = jax.random.split(key)
+    fan_in = in_ch * kernel
+    # Stored as [kernel, in_ch, out_ch] (lax conv_general_dilated "WIO").
+    w = kaiming_uniform(wkey, (kernel, in_ch, out_ch), fan_in=fan_in,
+                        dtype=dtype)
+    b = uniform_bias(bkey, (out_ch,), fan_in, dtype)
+    return {"w": w, "b": b}
+
+
+def conv1d(p: Params, x: jnp.ndarray, stride: int = 1,
+           padding: int = 0) -> jnp.ndarray:
+    """x: [B, T, C_in] -> [B, T', C_out]."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pytree helpers
+# ---------------------------------------------------------------------------
+
+
+def tree_cast(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def count_params(tree) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(tree))
+
+
+def stack_layers(layer_params: Sequence[Params]) -> Params:
+    """Stack per-layer param dicts into leading-axis arrays for lax.scan."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layer_params)
