@@ -99,11 +99,13 @@ _WHISPER_PRESETS: Dict[str, Dict[str, Any]] = {
         encoder_ffn_dim=5120, decoder_layers=4, decoder_attention_heads=20,
         decoder_ffn_dim=5120, vocab_size=51866,
     ),
-    # Hub-free tiny config for unit tests (not an HF model).
+    # Hub-free tiny config for unit tests (not an HF model).  150 source
+    # positions = 300 mel frames (3 s window) keeps CPU tests fast.
     "test/whisper-nano": dict(
         num_mel_bins=80, d_model=64, encoder_layers=4, encoder_attention_heads=2,
         encoder_ffn_dim=128, decoder_layers=2, decoder_attention_heads=2,
-        decoder_ffn_dim=128, vocab_size=256, max_source_positions=1500,
+        decoder_ffn_dim=128, vocab_size=256, max_source_positions=150,
+        max_target_positions=64,
         decoder_start_token_id=250, eos_token_id=251,
         no_timestamps_token_id=254, transcribe_token_id=253,
         first_language_token_id=252, num_language_tokens=1,

@@ -1,0 +1,308 @@
+"""Decoder-only LLM (Llama-3.x / Qwen3 family) in functional JAX.
+
+Replaces the reference's frozen HF ``AutoModelForCausalLM``
+(modeling_desta25.py:713-718) as the language backbone: RMSNorm, RoPE
+(llama3 NTK scaling or plain theta), GQA attention, SwiGLU MLP, optional
+Qwen3 per-head q/k RMSNorm, optional tied embeddings, optional LoRA on
+q/k/v (reference LoRA target modules, modeling_desta25.py:720-729).
+
+All layers run under one ``lax.scan`` over stacked parameters.  Designed to
+accept ``inputs_embeds`` directly so the DeSTA audio-token splice can feed
+it (reference forward contract, modeling_desta25.py:758-938), and to run
+prefill + single-step decode against a preallocated KV cache for
+generation.  Activation sharding constraints are applied through
+``parallel.sharding.shard_activation`` ("data" over batch, "model" over
+heads/ffn).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig
+from ..ops.core import (
+    Params,
+    init_rms_norm,
+    normal_init,
+    rms_norm,
+)
+from ..ops.rope import apply_rope, llm_rope_cos_sin
+from ..parallel.sharding import shard_activation
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L, B, Tmax, Hkv, Dh]
+    v: jnp.ndarray  # [L, B, Tmax, Hkv, Dh]
+
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_layer(key, cfg: LLMConfig, dtype) -> Params:
+    kq, kk, kv, ko, kg, ku, kd = jax.random.split(key, 7)
+    D = cfg.hidden_size
+    H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    p = {
+        "ln1": init_rms_norm(D, dtype),
+        "wq": normal_init(kq, (D, H * Dh), 0.02, dtype),
+        "wk": normal_init(kk, (D, Hkv * Dh), 0.02, dtype),
+        "wv": normal_init(kv, (D, Hkv * Dh), 0.02, dtype),
+        "wo": normal_init(ko, (H * Dh, D), 0.02, dtype),
+        "ln2": init_rms_norm(D, dtype),
+        "w_gate": normal_init(kg, (D, cfg.intermediate_size), 0.02, dtype),
+        "w_up": normal_init(ku, (D, cfg.intermediate_size), 0.02, dtype),
+        "w_down": normal_init(kd, (cfg.intermediate_size, D), 0.02, dtype),
+    }
+    if cfg.qk_norm:
+        p["q_norm"] = init_rms_norm(Dh, dtype)
+        p["k_norm"] = init_rms_norm(Dh, dtype)
+    return p
+
+
+def init_llm(key, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
+    ke, kh, *lkeys = jax.random.split(key, 2 + cfg.num_hidden_layers)
+    layers = [_init_layer(k, cfg, dtype) for k in lkeys]
+    from ..ops.core import stack_layers
+    p = {
+        "embed": normal_init(ke, (cfg.vocab_size, cfg.hidden_size), 0.02,
+                             dtype),
+        "layers": stack_layers(layers),
+        "norm": init_rms_norm(cfg.hidden_size, dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = normal_init(kh, (cfg.hidden_size, cfg.vocab_size),
+                                   0.02, dtype)
+    return p
+
+
+def init_lora(key, cfg: LLMConfig, rank: int, dtype=jnp.float32) -> Params:
+    """LoRA A/B for q/k/v of every layer (A ~ N(0, 0.02), B zero)."""
+    D = cfg.hidden_size
+    outs = {"q": cfg.num_attention_heads * cfg.head_dim,
+            "k": cfg.num_key_value_heads * cfg.head_dim,
+            "v": cfg.num_key_value_heads * cfg.head_dim}
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        key, *ks = jax.random.split(key, 4)
+        layers.append({
+            t: {"a": normal_init(k, (D, rank), 0.02, dtype),
+                "b": jnp.zeros((rank, outs[t]), dtype)}
+            for t, k in zip(("q", "k", "v"), ks)
+        })
+    from ..ops.core import stack_layers
+    return {"layers": stack_layers(layers)}
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _proj(x, w):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _lora_delta(x, lp, scale: float):
+    a = jnp.dot(x, lp["a"].astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    return scale * jnp.dot(a, lp["b"].astype(a.dtype),
+                           preferred_element_type=jnp.float32)
+
+
+def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
+               layer_cache=None, cache_index=None, lora=None,
+               lora_scale: float = 1.0):
+    B, T, D = x.shape
+    H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    q = _proj(x, p["wq"])
+    k = _proj(x, p["wk"])
+    v = _proj(x, p["wv"])
+    if lora is not None:
+        q = (q.astype(jnp.float32)
+             + _lora_delta(x, lora["q"], lora_scale)).astype(q.dtype)
+        k = (k.astype(jnp.float32)
+             + _lora_delta(x, lora["k"], lora_scale)).astype(k.dtype)
+        v = (v.astype(jnp.float32)
+             + _lora_delta(x, lora["v"], lora_scale)).astype(v.dtype)
+    q = q.reshape(B, T, H, Dh)
+    k = k.reshape(B, T, Hkv, Dh)
+    v = v.reshape(B, T, Hkv, Dh)
+    if cfg.qk_norm:
+        q = rms_norm(p["q_norm"], q, cfg.rms_norm_eps)
+        k = rms_norm(p["k_norm"], k, cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_cache = None
+    if layer_cache is not None:
+        ck, cv = layer_cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                          (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                          (0, cache_index, 0, 0))
+        k, v = ck, cv
+        new_cache = (ck, cv)
+
+    # GQA attention, f32 softmax.
+    rep = H // Hkv
+    kr = jnp.repeat(k, rep, axis=2)
+    vr = jnp.repeat(v, rep, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, kr,
+                        preferred_element_type=jnp.float32)
+    logits = logits * (Dh ** -0.5)
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1).astype(vr.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vr,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = shard_activation(out, ("data", None, "model", None))
+    out = out.reshape(B, T, H * Dh)
+    return _proj(out, p["wo"]), new_cache
+
+
+def _mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    g = _proj(x, p["w_gate"])
+    u = _proj(x, p["w_up"])
+    h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    h = shard_activation(h, ("data", None, "model"))
+    return _proj(h, p["w_down"])
+
+
+def llm_apply(
+    params: Params,
+    cfg: LLMConfig,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    cache: Optional[KVCache] = None,
+    cache_index=None,
+    lora: Optional[Params] = None,
+    lora_scale: float = 1.0,
+    extra_layer_fn=None,
+    return_hidden: bool = False,
+    remat: bool = False,
+):
+    """Forward pass.
+
+    input_ids [B, T] or inputs_embeds [B, T, D] (exactly one).
+    attention_mask: [B, T] 1/0 (left padding supported).  With a cache it
+    must cover the cache length [B, Tmax].
+    positions: [B, T] explicit RoPE positions; default cumsum(mask)-1.
+    cache / cache_index: KV-cached decode — writes the new k/v at
+    ``cache_index`` and attends over the full cache.
+    extra_layer_fn: optional ``fn(layer_idx, hidden) -> hidden`` applied
+    after each decoder layer (ORCA gated cross-attention deep injection —
+    first-class here, not monkey-patched; cf. modeling_desta25.py:1052-1143).
+    return_hidden: also return final hidden states (pre-logits) and, when
+    True, per-layer hidden states are NOT stashed (cheap).
+
+    Returns (logits [B, T, V] float32, new_cache, hidden or None).
+    """
+    if (input_ids is None) == (inputs_embeds is None):
+        raise ValueError("provide exactly one of input_ids / inputs_embeds")
+    if inputs_embeds is None:
+        inputs_embeds = params["embed"][input_ids]
+    x = inputs_embeds
+    B, T, D = x.shape
+    x = shard_activation(x, ("data", None, None))
+
+    if cache is not None:
+        Tmax = cache.k.shape[2]
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, Tmax), jnp.int32)
+        key_pos = jnp.arange(Tmax)[None, None, None, :]
+        q_pos = (cache_index + jnp.arange(T))[None, None, :, None]
+        mask = (key_pos <= q_pos) & (attention_mask[:, None, None, :] > 0)
+        if positions is None:
+            positions = cache_index + jnp.arange(T)[None, :]
+    else:
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, T), jnp.int32)
+        causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
+        mask = causal & (attention_mask[:, None, None, :] > 0)
+        if positions is None:
+            positions = jnp.maximum(
+                jnp.cumsum(attention_mask, axis=1) - 1, 0)
+
+    cos, sin = llm_rope_cos_sin(cfg, positions)
+
+    n_layers = cfg.num_hidden_layers
+    layer_ids = jnp.arange(n_layers)
+
+    def layer_step(h, inp):
+        if cache is not None:
+            p, idx, lp, ck, cv = inp
+            layer_cache = (ck, cv)
+        else:
+            p, idx, lp = inp
+            layer_cache = None
+        attn_out, new_lc = _attention(
+            p, rms_norm(p["ln1"], h, cfg.rms_norm_eps), cos, sin, mask, cfg,
+            layer_cache, cache_index, lp, lora_scale)
+        h = h + attn_out
+        h = h + _mlp(p, rms_norm(p["ln2"], h, cfg.rms_norm_eps))
+        if extra_layer_fn is not None:
+            h = extra_layer_fn(idx, h)
+        return h, new_lc
+
+    if remat:
+        layer_step = jax.checkpoint(layer_step)
+
+    lora_layers = lora["layers"] if lora is not None else None
+    if cache is not None:
+        xs = (params["layers"], layer_ids, lora_layers, cache.k, cache.v) \
+            if lora is not None else \
+            (params["layers"], layer_ids, None, cache.k, cache.v)
+        # lax.scan can't carry None in xs; expand manually.
+        if lora is None:
+            def step(h, inp):
+                p, idx, ck, cv = inp
+                return layer_step(h, (p, idx, None, ck, cv))
+            x, lcs = jax.lax.scan(
+                step, x, (params["layers"], layer_ids, cache.k, cache.v))
+        else:
+            x, lcs = jax.lax.scan(layer_step, x, xs)
+        new_cache = KVCache(lcs[0], lcs[1])
+    else:
+        if lora is None:
+            def step(h, inp):
+                p, idx = inp
+                return layer_step(h, (p, idx, None))
+            x, _ = jax.lax.scan(step, x, (params["layers"], layer_ids))
+        else:
+            x, _ = jax.lax.scan(layer_step, x,
+                                (params["layers"], layer_ids, lora_layers))
+        new_cache = None
+
+    hidden = rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.einsum("btd,vd->btv", hidden, params["embed"],
+                            preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.einsum("btd,dv->btv", hidden, head,
+                            preferred_element_type=jnp.float32)
+    if return_hidden:
+        return logits, new_cache, hidden
+    return logits, new_cache, None
+
+
+def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding lookup (the splice needs raw embeddings;
+    modeling_desta25.py:975-982)."""
+    return params["embed"][ids]
