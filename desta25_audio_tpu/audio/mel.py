@@ -123,24 +123,25 @@ def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
 
 
 def _framed_rows(audio: jnp.ndarray) -> jnp.ndarray:
-    """Reflect-pad and reshape to hop-sized rows [B, N_FRAMES+3, HOP]."""
+    """Reflect-pad and reshape to hop-sized rows [B, n_frames+3, HOP]."""
     B = audio.shape[0]
     padded = jnp.pad(audio, ((0, 0), (N_FFT // 2, N_FFT // 2)),
-                     mode="reflect")  # [B, 480400]
+                     mode="reflect")
     total = padded.shape[1]
-    n_rows = -(-total // HOP_LENGTH)  # 3003
+    n_rows = audio.shape[1] // HOP_LENGTH + 3
     padded = jnp.pad(padded, ((0, 0), (0, n_rows * HOP_LENGTH - total)))
     return padded.reshape(B, n_rows, HOP_LENGTH)
 
 
 def power_spectrogram(audio: jnp.ndarray) -> jnp.ndarray:
-    """[B, 480000] -> power spectrum [B, N_FRAMES, 201] (frame 3001 dropped,
-    matching WhisperFeatureExtractor's ``stft[..., :-1]``)."""
-    rows = _framed_rows(audio)  # [B, 3003, 160]
+    """[B, n_frames*160] -> power spectrum [B, n_frames, 201] (the extra
+    final frame is dropped, matching WhisperFeatureExtractor's
+    ``stft[..., :-1]``).  Whisper uses n_frames=3000 (30 s)."""
+    rows = _framed_rows(audio)
     cos_m, sin_m = _dft_window_matrices()
     cos_m = jnp.asarray(cos_m)
     sin_m = jnp.asarray(sin_m)
-    F = N_FRAMES  # keep 3000 frames
+    F = audio.shape[1] // HOP_LENGTH
 
     def third_matmul(mat):
         # frames[f] = concat(rows[f], rows[f+1], rows[f+2,:80])

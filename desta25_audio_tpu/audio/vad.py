@@ -1,0 +1,130 @@
+"""Voice activity detection (host CPU).
+
+The reference lazily loads silero-vad from torch.hub and uses it only as a
+boolean gate: "does this clip contain speech?"  (modeling_desta25.py:
+1484-1488, 1562-1568 — non-speech clips get transcription " "; speech
+clips without user transcription go through ASR.)
+
+Offline default here is an energy+spectral VAD with hangover smoothing; if
+a silero ONNX model is available (``DESTA_SILERO_ONNX`` env or explicit
+path) and onnxruntime is importable, it is used instead.  VAD gates host
+control flow, not device math, so it stays off the TPU.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+FRAME = 512  # ~32 ms at 16 kHz (silero frame size)
+
+
+def _frame_signal(x: np.ndarray, frame: int = FRAME) -> np.ndarray:
+    n = len(x) // frame
+    if n == 0:
+        return np.zeros((0, frame), np.float32)
+    return x[:n * frame].reshape(n, frame)
+
+
+def energy_vad(audio: np.ndarray, sr: int = 16000,
+               threshold_db: float = -40.0,
+               min_speech_frames: int = 4,
+               hangover: int = 3) -> List[Tuple[int, int]]:
+    """Energy VAD with relative+absolute thresholds and hangover.
+
+    Returns speech segments as (start_sample, end_sample) pairs.
+    """
+    frames = _frame_signal(audio.astype(np.float32))
+    if frames.shape[0] == 0:
+        return []
+    energy_db = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-10)
+    # threshold: max(absolute floor, noise floor + margin)
+    noise_floor = np.percentile(energy_db, 10)
+    thr = max(threshold_db, noise_floor + 6.0)
+    active = energy_db > thr
+
+    # spectral tilt check: speech has energy concentrated below ~4 kHz but
+    # above ~100 Hz; reject constant hum / clicks
+    spec = np.abs(np.fft.rfft(frames, axis=1))
+    freqs = np.fft.rfftfreq(FRAME, 1.0 / sr)
+    band = (freqs > 100) & (freqs < 4000)
+    band_ratio = (spec[:, band].sum(axis=1)
+                  / (spec.sum(axis=1) + 1e-9))
+    active &= band_ratio > 0.35
+
+    # hangover smoothing
+    smoothed = np.zeros_like(active)
+    run = 0
+    for i, a in enumerate(active):
+        run = hangover if a else max(run - 1, 0)
+        smoothed[i] = run > 0
+
+    segments: List[Tuple[int, int]] = []
+    start = None
+    for i, a in enumerate(smoothed):
+        if a and start is None:
+            start = i
+        elif not a and start is not None:
+            if i - start >= min_speech_frames:
+                segments.append((start * FRAME, i * FRAME))
+            start = None
+    if start is not None and len(smoothed) - start >= min_speech_frames:
+        segments.append((start * FRAME, len(smoothed) * FRAME))
+    return segments
+
+
+class SileroOnnxVAD:
+    """silero-vad via onnxruntime when available (streaming state model)."""
+
+    def __init__(self, model_path: str):
+        import onnxruntime as ort  # gated import
+        self.sess = ort.InferenceSession(
+            model_path, providers=["CPUExecutionProvider"])
+
+    def speech_probs(self, audio: np.ndarray, sr: int = 16000) -> np.ndarray:
+        state = np.zeros((2, 1, 128), np.float32)
+        probs = []
+        for frame in _frame_signal(audio):
+            out, state = self.sess.run(
+                None, {"input": frame[None], "state": state,
+                       "sr": np.array(sr, np.int64)})
+            probs.append(float(out))
+        return np.asarray(probs)
+
+    def get_speech_timestamps(self, audio, sr=16000, threshold=0.5):
+        probs = self.speech_probs(audio, sr)
+        segs = []
+        start = None
+        for i, p in enumerate(probs):
+            if p >= threshold and start is None:
+                start = i
+            elif p < threshold and start is not None:
+                segs.append((start * FRAME, i * FRAME))
+                start = None
+        if start is not None:
+            segs.append((start * FRAME, len(probs) * FRAME))
+        return segs
+
+
+_silero: Optional[SileroOnnxVAD] = None
+
+
+def get_speech_timestamps(audio: np.ndarray, sr: int = 16000
+                          ) -> List[Tuple[int, int]]:
+    """Speech segments; silero-ONNX when configured, energy VAD otherwise."""
+    global _silero
+    path = os.environ.get("DESTA_SILERO_ONNX")
+    if path and _silero is None and os.path.exists(path):
+        try:
+            _silero = SileroOnnxVAD(path)
+        except Exception:
+            _silero = None
+    if _silero is not None:
+        return _silero.get_speech_timestamps(audio, sr)
+    return energy_vad(audio, sr)
+
+
+def has_speech(audio: np.ndarray, sr: int = 16000) -> bool:
+    return len(get_speech_timestamps(audio, sr)) > 0

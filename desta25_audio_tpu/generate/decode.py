@@ -1,0 +1,192 @@
+"""KV-cached autoregressive decoding loops (LLM + Whisper ASR).
+
+Replaces HF ``generate`` (modeling_desta25.py:1419-1427 for the LLM,
+:1586-1594 for Whisper ASR) with jit-compiled ``lax.while_loop`` decode:
+static shapes, preallocated caches, early exit when every row has emitted a
+stop token.  Sampling supports greedy / temperature / nucleus (top-p),
+matching the reference's generation kwargs surface
+(temperature, top_p, max_new_tokens, do_sample).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig, WhisperConfig
+from ..models import llm as jllm
+from ..models import whisper as jw
+
+
+def sample_token(logits: jnp.ndarray, key, temperature: float, top_p: float,
+                 do_sample: bool) -> jnp.ndarray:
+    """logits: [B, V] float32 -> [B] int32."""
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep 1st)
+        keep = cum - probs < top_p
+        threshold = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+        logits = jnp.where(logits >= threshold, logits, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
+                     "do_sample", "eos_ids", "pad_id"),
+)
+def llm_generate(
+    params,
+    cfg: LLMConfig,
+    inputs_embeds: jnp.ndarray,       # [B, T, D] spliced context (left-pad)
+    attention_mask: jnp.ndarray,      # [B, T] 1/0
+    key: jax.Array,
+    *,
+    max_new_tokens: int,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    do_sample: bool = False,
+    eos_ids: Tuple[int, ...] = (),
+    pad_id: int = 0,
+    lora=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prefill + decode. Returns (tokens [B, max_new_tokens], n_generated
+    [B]) where positions past the stop token hold ``pad_id``."""
+    B, T, D = inputs_embeds.shape
+    Tmax = T + max_new_tokens
+    cache = jllm.init_kv_cache(cfg, B, Tmax, dtype=inputs_embeds.dtype)
+
+    full_mask = jnp.zeros((B, Tmax), jnp.int32).at[:, :T].set(attention_mask)
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+    logits, cache, _ = jllm.llm_apply(
+        params, cfg, inputs_embeds=inputs_embeds,
+        attention_mask=full_mask, positions=positions,
+        cache=cache, cache_index=0, lora=lora)
+    last_pos = positions[:, -1]
+
+    key, sub = jax.random.split(key)
+    tok0 = sample_token(logits[:, -1], sub, temperature, top_p, do_sample)
+    eos_arr = jnp.asarray(eos_ids, jnp.int32) if eos_ids else None
+
+    def is_eos(t):
+        if eos_arr is None:
+            return jnp.zeros_like(t, dtype=bool)
+        return jnp.any(t[:, None] == eos_arr[None, :], axis=-1)
+
+    # Stop tokens stay in the output (HF semantics; decode with
+    # skip_special_tokens drops them); positions after the stop hold pad_id.
+    out0 = jnp.full((B, max_new_tokens), pad_id, jnp.int32)
+    out0 = out0.at[:, 0].set(tok0)
+    state = dict(
+        t=jnp.asarray(0, jnp.int32),
+        cur=tok0,
+        done=is_eos(tok0),
+        out=out0,
+        cache=cache,
+        mask=full_mask,
+        pos=last_pos + 1,
+        key=key,
+    )
+
+    def cond(s):
+        return (s["t"] < max_new_tokens - 1) & (~jnp.all(s["done"]))
+
+    def body(s):
+        t = s["t"]
+        write_idx = T + t
+        mask = s["mask"].at[:, write_idx].set(1)
+        logits, cache, _ = jllm.llm_apply(
+            params, cfg, input_ids=s["cur"][:, None],
+            attention_mask=mask, positions=s["pos"][:, None],
+            cache=s["cache"], cache_index=write_idx, lora=lora)
+        key, sub = jax.random.split(s["key"])
+        nxt = sample_token(logits[:, -1], sub, temperature, top_p, do_sample)
+        nxt = jnp.where(s["done"], pad_id, nxt)
+        out = s["out"].at[:, t + 1].set(nxt)
+        done = s["done"] | is_eos(nxt)
+        return dict(t=t + 1, cur=nxt, done=done, out=out, cache=cache,
+                    mask=mask, pos=s["pos"] + 1, key=key)
+
+    state = jax.lax.while_loop(cond, body, state)
+    n_gen = jnp.sum(state["out"] != pad_id, axis=-1)
+    return state["out"], n_gen
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_new_tokens", "language_token"))
+def whisper_transcribe(
+    params,
+    cfg: WhisperConfig,
+    mel: jnp.ndarray,  # [N, 3000, n_mels] NWC
+    *,
+    max_new_tokens: int = 128,
+    language_token: Optional[int] = None,
+) -> jnp.ndarray:
+    """Greedy ASR decode (reference ASR-in-the-loop,
+    modeling_desta25.py:1586-1594).
+
+    Start sequence: <|sot|> <|lang|> <|transcribe|> <|notimestamps|>; the
+    language token is detected from the first decoder step when not given
+    (Whisper detect_language behavior).  Returns token ids
+    [N, max_new_tokens] padded with eos.
+    """
+    N = mel.shape[0]
+    enc_out, _ = jw.whisper_encoder_apply(params["encoder"], mel, cfg)
+    ckv = jw.whisper_cross_kv(params["decoder"], enc_out, cfg)
+
+    sot = cfg.decoder_start_token_id
+    if language_token is None:
+        # one step from <|sot|>, argmax restricted to the language block
+        lg, _ = jw.whisper_decoder_apply(
+            params["decoder"], jnp.full((N, 1), sot, jnp.int32), ckv, cfg)
+        lang_block = jax.lax.dynamic_slice_in_dim(
+            lg[:, 0], cfg.first_language_token_id, cfg.num_language_tokens,
+            axis=-1)
+        lang_tok = (cfg.first_language_token_id
+                    + jnp.argmax(lang_block, axis=-1).astype(jnp.int32))
+    else:
+        lang_tok = jnp.full((N,), language_token, jnp.int32)
+
+    prefix = jnp.stack([
+        jnp.full((N,), sot, jnp.int32),
+        lang_tok,
+        jnp.full((N,), cfg.transcribe_token_id, jnp.int32),
+        jnp.full((N,), cfg.no_timestamps_token_id, jnp.int32),
+    ], axis=1)  # [N, 4]
+    P = prefix.shape[1]
+    Tmax = P + max_new_tokens
+    cache = jw.init_decoder_cache(cfg, N, Tmax, dtype=enc_out.dtype)
+    logits, cache = jw.whisper_decoder_apply(
+        params["decoder"], prefix, ckv, cfg, pos_offset=0, cache=cache,
+        cache_index=0)
+    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    eos = cfg.eos_token_id
+
+    out0 = jnp.full((N, max_new_tokens), eos, jnp.int32).at[:, 0].set(tok0)
+    state = dict(t=jnp.asarray(0, jnp.int32), cur=tok0, done=tok0 == eos,
+                 out=out0, cache=cache)
+
+    def cond(s):
+        return (s["t"] < max_new_tokens - 1) & (~jnp.all(s["done"]))
+
+    def body(s):
+        t = s["t"]
+        lg, cache = jw.whisper_decoder_apply(
+            params["decoder"], s["cur"][:, None], ckv, cfg,
+            pos_offset=P + t, cache=s["cache"], cache_index=P + t)
+        nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(s["done"], eos, nxt)
+        return dict(t=t + 1, cur=nxt, done=s["done"] | (nxt == eos),
+                    out=s["out"].at[:, t + 1].set(nxt), cache=cache)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["out"]

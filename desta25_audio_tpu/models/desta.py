@@ -1,0 +1,391 @@
+"""DeSTA25AudioModel — the public model API.
+
+Preserves the reference surface (modeling_desta25.py:698-1747):
+``DeSTA25AudioModel.from_pretrained(...)``, ``generate(messages=...)`` with
+audio dicts, ``forward`` for training, trainable-only ``state_dict``.
+
+Architecture (TPU-native):
+- host phase A: audio decode + VAD (CPU), mel + Whisper-ASR greedy decode
+  (device, jitted) for speech clips lacking transcriptions;
+- host phase B: chat template, ``<start_audio><|AUDIO|><end_audio>`` wrap,
+  placeholder expansion, left-pad tokenization, splice-map construction;
+- device phase C: one jitted program — mel -> encoder taps -> connector ->
+  splice into the embedding stream -> prefill -> while-loop decode.
+
+The two-phase host/device split exists because ASR output length changes
+the token layout (SURVEY §7 "ASR-inside-generate").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.io import AudioSegment
+from ..audio.mel import log_mel, pad_or_trim, N_SAMPLES
+from ..audio.vad import has_speech
+from ..config import DeSTA25Config
+from ..data.tokenizer import build_tokenizer
+from ..generate.decode import llm_generate, whisper_transcribe
+from ..models import llm as jllm
+from ..models import whisper as jw
+from ..models.perception import perception_apply
+from ..models.qformer import init_qformer_connector
+from ..models.splice import (
+    SpliceEntry,
+    apply_splice,
+    build_splice_maps,
+    expand_audio_placeholders,
+)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class GenerationOutput:
+    """Reference GenerationOutput (modeling_desta25.py:492-496)."""
+
+    audios: list
+    generated_ids: list
+    text: List[str]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class DeSTA25AudioModel:
+    """Top-level LALM: frozen Whisper + frozen LLM + trainable connector."""
+
+    def __init__(self, config: DeSTA25Config, params: Optional[Dict] = None,
+                 seed: int = 0, tokenizer=None):
+        self.config = config
+        self.llm_cfg = config.llm_config
+        self.enc_cfg = config.encoder_config
+        self.audio_locator = config.audio_locator
+        self.placeholder_token = config.placeholder_token
+        self.dtype = (jnp.bfloat16 if config.dtype == "bfloat16"
+                      else jnp.float32)
+
+        if params is None:
+            params = self.init_params(jax.random.PRNGKey(seed))
+        self.params = params
+        self._tokenizer = tokenizer
+        self._whisper_tokenizer = None
+        self._gen_key = jax.random.PRNGKey(seed + 1)
+
+    # -- params -----------------------------------------------------------
+
+    def init_params(self, key) -> Dict[str, Any]:
+        kw, kl, kc, klo = jax.random.split(key, 4)
+        params: Dict[str, Any] = {
+            "whisper": jw.init_whisper(kw, self.enc_cfg, dtype=self.dtype),
+            "llm": jllm.init_llm(kl, self.llm_cfg, dtype=self.dtype),
+        }
+        if self.config.connector_mode == "qformer_1":
+            params["connector"] = init_qformer_connector(
+                kc, self.config, dtype=jnp.float32)
+        elif self.config.connector_mode == "orca_hybrid":
+            from .orca import init_orca_connector, init_orca_cross_attns
+            params["connector"] = init_orca_connector(
+                kc, self.config, dtype=jnp.float32)
+            if self.config.orca_deep_injection_enabled:
+                params["orca_cross_attns"] = init_orca_cross_attns(
+                    kc, self.config, dtype=jnp.float32)
+        else:
+            raise NotImplementedError(self.config.connector_mode)
+        if self.config.use_lora:
+            params["lora"] = jllm.init_lora(
+                klo, self.llm_cfg, self.config.lora_rank)
+        return params
+
+    def trainable_keys(self) -> Tuple[str, ...]:
+        """Which top-level param subtrees train (reference
+        configure_trainable_parameters, modeling_desta25.py:1439-1463:
+        everything except LLM and Whisper)."""
+        keys = [k for k in self.params
+                if k not in ("whisper", "llm")]
+        return tuple(keys)
+
+    def split_params(self):
+        """(trainable, frozen) param trees."""
+        trainable = {k: self.params[k] for k in self.trainable_keys()}
+        frozen = {k: v for k, v in self.params.items()
+                  if k not in trainable}
+        return trainable, frozen
+
+    # -- tokenizers -------------------------------------------------------
+
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            self._tokenizer = build_tokenizer(
+                self.config.llm_model_id, self.placeholder_token,
+                chat_template=self.llm_cfg.chat_template)
+        return self._tokenizer
+
+    @property
+    def whisper_tokenizer(self):
+        if self._whisper_tokenizer is None:
+            if self.config.encoder_model_id.startswith("test/"):
+                class _CharASR:
+                    @staticmethod
+                    def batch_decode(ids_batch, skip_special_tokens=True):
+                        return ["".join(chr(i) for i in ids
+                                        if int(i) < 128)
+                                for ids in np.asarray(ids_batch)]
+                self._whisper_tokenizer = _CharASR()
+            else:
+                from transformers import AutoProcessor
+                self._whisper_tokenizer = AutoProcessor.from_pretrained(
+                    self.config.encoder_model_id)
+        return self._whisper_tokenizer
+
+    # -- device programs --------------------------------------------------
+
+    def _mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
+        """[N, samples] -> [N, frames, n_mels] log-mel (device)."""
+        x = pad_or_trim(jnp.asarray(audio_batch),
+                        self.enc_cfg.expected_mel_frames * 160)
+        return log_mel(x, self.enc_cfg.num_mel_bins, layout="btm"
+                       ).astype(self.dtype)
+
+    def _asr(self, audio_batch: np.ndarray, max_new_tokens: int = 128
+             ) -> List[str]:
+        mel = self._mel(audio_batch)
+        ids = whisper_transcribe(self.params["whisper"], self.enc_cfg, mel,
+                                 max_new_tokens=max_new_tokens)
+        return self.whisper_tokenizer.batch_decode(
+            np.asarray(ids), skip_special_tokens=True)
+
+    def prepare_inputs_embeds(self, params, input_ids, mel, trans_ids,
+                              kind, aidx, pos):
+        """Device-side: perception + splice (jit-traceable).
+
+        Returns (inputs_embeds [B, T, D], aux) where aux carries ORCA local
+        tokens (or None)."""
+        text_embeds = jllm.embed_tokens(params["llm"], input_ids)
+        if mel is None:
+            return text_embeds, None
+        audio_feats, local_tokens = perception_apply(params, mel, self.config)
+        trans_embeds = jax.lax.stop_gradient(
+            jllm.embed_tokens(params["llm"], trans_ids))
+        embeds = apply_splice(text_embeds, audio_feats, trans_embeds,
+                              kind, aidx, pos)
+        return embeds, (audio_feats, local_tokens)
+
+    # -- generate ---------------------------------------------------------
+
+    def generate(self, messages, temperature: float = 0.7,
+                 top_p: float = 0.9, do_sample: bool = True,
+                 max_new_tokens: int = 512) -> GenerationOutput:
+        """Reference-compatible inference entry point
+        (modeling_desta25.py:1491-1721)."""
+        if isinstance(messages, list):
+            messages_list = ([messages] if isinstance(messages[0], dict)
+                             else messages)
+        else:
+            raise ValueError(
+                "messages should be a list of dicts or a list of lists.")
+
+        tk = self.tokenizer
+        all_audios: List[str] = []
+        all_transcriptions: List[Optional[str]] = []
+        for msgs in messages_list:
+            for message in msgs:
+                content = message["content"]
+                audios = message.get("audios", [])
+                assert len(audios) == content.count(self.audio_locator), \
+                    "audio count does not match (<|AUDIO|>) count"
+                for audio in audios:
+                    all_audios.append(audio["audio"])
+                    all_transcriptions.append(audio.get("text"))
+
+        if not all_audios:
+            return self._generate_text_only(
+                messages_list, temperature, top_p, do_sample, max_new_tokens)
+
+        # --- phase A: audio decode + VAD + ASR --------------------------
+        samples = []
+        asr_indices = []
+        for i, (path, trans) in enumerate(zip(all_audios,
+                                              all_transcriptions)):
+            if not os.path.exists(path):
+                raise ValueError(f"Audio file {path} does not exist.")
+            seg = AudioSegment.from_file(path, target_sr=16000,
+                                         channel_selector="average")
+            samples.append(seg.samples)
+            speech = has_speech(seg.samples)
+            if speech and trans is None:
+                asr_indices.append(i)
+            if not speech:
+                all_transcriptions[i] = " "
+        max_len = self.enc_cfg.expected_mel_frames * 160
+        audio_batch = np.zeros((len(samples), max_len), np.float32)
+        for i, s in enumerate(samples):
+            audio_batch[i, :min(len(s), max_len)] = s[:max_len]
+
+        if asr_indices:
+            texts = self._asr(audio_batch[np.asarray(asr_indices)])
+            for i, text in zip(asr_indices, texts):
+                all_transcriptions[i] = text.strip()
+
+        # --- phase B: tokenize + expand + splice maps -------------------
+        K = self.config.audio_token_size
+        audio_size_list = [K] * len(all_audios)
+        transcription_size_list = [
+            len(tk.tokenize(t, add_special_tokens=False))
+            for t in all_transcriptions
+        ]
+
+        context_list: List[str] = []
+        start_positions_list: List[List[int]] = []
+        consumed = 0
+        per_row_counts = []
+        for msgs in messages_list:
+            ctx = tk.apply_chat_template(msgs, tokenize=False,
+                                         add_generation_prompt=True)
+            ctx = ctx.replace(
+                self.audio_locator,
+                f"<start_audio>{self.audio_locator}<end_audio>")
+            n_here = ctx.count(self.audio_locator)
+            toks, starts = expand_audio_placeholders(
+                tk.tokenize(ctx), self.audio_locator,
+                audio_size_list[consumed:consumed + n_here],
+                transcription_size_list[consumed:consumed + n_here],
+                self.placeholder_token)
+            consumed += n_here
+            per_row_counts.append(n_here)
+            context_list.append(tk.convert_tokens_to_string(toks))
+            start_positions_list.append(starts)
+
+        enc = tk(context_list, padding="longest", truncation=True,
+                 add_special_tokens=False)
+        input_ids = np.asarray(enc["input_ids"], np.int32)
+        attn_mask = np.asarray(enc["attention_mask"], np.int32)
+        B, T = input_ids.shape
+
+        entries = []
+        audio_idx = 0
+        for b in range(B):
+            pad_len = int(T - attn_mask[b].sum())
+            for s in start_positions_list[b]:
+                entries.append(SpliceEntry(
+                    batch_idx=b, start=s + pad_len, audio_idx=audio_idx,
+                    audio_size=K,
+                    trans_len=transcription_size_list[audio_idx]))
+                audio_idx += 1
+        kind, aidx, pos = build_splice_maps(B, T, entries)
+
+        trans_max = max(1, _round_up(max(transcription_size_list + [1]), 8))
+        trans_ids = np.zeros((len(all_audios), trans_max), np.int32)
+        for i, t in enumerate(all_transcriptions):
+            ids = tk.encode(t, add_special_tokens=False)[:trans_max]
+            trans_ids[i, :len(ids)] = ids
+
+        # --- phase C: device program ------------------------------------
+        mel = self._mel(audio_batch)
+        self._gen_key, key = jax.random.split(self._gen_key)
+        embeds, _ = self.prepare_inputs_embeds(
+            self.params, jnp.asarray(input_ids), mel,
+            jnp.asarray(trans_ids), jnp.asarray(kind), jnp.asarray(aidx),
+            jnp.asarray(pos))
+        tokens, n_gen = llm_generate(
+            self.params["llm"], self.llm_cfg, embeds,
+            jnp.asarray(attn_mask), key,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, do_sample=do_sample,
+            eos_ids=self._terminators(), pad_id=tk.pad_token_id,
+            lora=self.params.get("lora"))
+        tokens = np.asarray(tokens)
+        texts = tk.batch_decode(tokens, skip_special_tokens=True)
+        return GenerationOutput(
+            text=texts,
+            audios=[(a, t) for a, t in zip(all_audios, all_transcriptions)],
+            generated_ids=tokens.tolist(),
+        )
+
+    def _terminators(self) -> Tuple[int, ...]:
+        tk = self.tokenizer
+        terms = {tk.eos_token_id}
+        for tok in ("<|eot_id|>", "<|im_end|>", "<|end_of_text|>",
+                    "<|endoftext|>"):
+            try:
+                tid = tk.convert_tokens_to_ids(tok)
+            except Exception:
+                continue
+            if tid is not None and tid >= 0:
+                terms.add(int(tid))
+        return tuple(sorted(terms))
+
+    def _generate_text_only(self, messages_list, temperature, top_p,
+                            do_sample, max_new_tokens) -> GenerationOutput:
+        """Plain LLM chat path (modeling_desta25.py:1686-1721)."""
+        tk = self.tokenizer
+        texts = tk.apply_chat_template(messages_list, tokenize=False,
+                                       add_generation_prompt=True)
+        if isinstance(texts, str):
+            texts = [texts]
+        enc = tk(texts, padding="longest", add_special_tokens=False)
+        input_ids = jnp.asarray(np.asarray(enc["input_ids"], np.int32))
+        attn_mask = jnp.asarray(np.asarray(enc["attention_mask"], np.int32))
+        embeds = jllm.embed_tokens(self.params["llm"], input_ids)
+        self._gen_key, key = jax.random.split(self._gen_key)
+        tokens, _ = llm_generate(
+            self.params["llm"], self.llm_cfg, embeds, attn_mask, key,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, do_sample=do_sample, eos_ids=self._terminators(),
+            pad_id=tk.pad_token_id, lora=self.params.get("lora"))
+        tokens = np.asarray(tokens)
+        return GenerationOutput(
+            text=tk.batch_decode(tokens, skip_special_tokens=True),
+            audios=[],
+            generated_ids=tokens.tolist(),
+        )
+
+    # -- persistence ------------------------------------------------------
+
+    def save_pretrained(self, path: str):
+        from ..ckpt.desta_io import save_trainable_safetensors
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            f.write(self.config.to_json())
+        trainable, _ = self.split_params()
+        save_trainable_safetensors(
+            trainable, self.config, os.path.join(path, "model.safetensors"))
+
+    @classmethod
+    def from_pretrained(cls, path: str, weights_root: Optional[str] = None,
+                        seed: int = 0, **kwargs) -> "DeSTA25AudioModel":
+        """Load config + trainable weights from ``path``; frozen Whisper/LLM
+        weights come from converted HF checkpoints under ``weights_root``
+        (or env DESTA_TPU_WEIGHTS), falling back to random init with a
+        warning (hub access is not assumed)."""
+        from ..ckpt.desta_io import load_frozen_tower, load_trainable_safetensors
+        with open(os.path.join(path, "config.json")) as f:
+            config = DeSTA25Config.from_json(f.read())
+        model = cls(config, seed=seed, **kwargs)
+        weights_root = weights_root or os.environ.get("DESTA_TPU_WEIGHTS")
+        if weights_root:
+            for tower, model_id in (("whisper", config.encoder_model_id),
+                                    ("llm", config.llm_model_id)):
+                loaded = load_frozen_tower(tower, model_id, weights_root,
+                                           config, model.dtype)
+                if loaded is not None:
+                    model.params[tower] = loaded
+                else:
+                    logger.warning("no local weights for %s (%s); keeping "
+                                   "random init", tower, model_id)
+        st = os.path.join(path, "model.safetensors")
+        if os.path.exists(st):
+            model.params = load_trainable_safetensors(
+                model.params, config, st)
+        return model
