@@ -188,6 +188,9 @@ def load_trainable_safetensors(params: Dict[str, Any],
     elif config.connector_mode == "orca_hybrid":
         from .orca_io import orca_from_ref
         params = orca_from_ref(params, sd, config)
+    if "lora" in params and any("lora_A" in k for k in sd):
+        from .lora_io import lora_from_ref
+        params["lora"] = lora_from_ref(params["lora"], sd)
     return params
 
 

@@ -99,6 +99,17 @@ _WHISPER_PRESETS: Dict[str, Dict[str, Any]] = {
         encoder_ffn_dim=5120, decoder_layers=4, decoder_attention_heads=20,
         decoder_ffn_dim=5120, vocab_size=51866,
     ),
+    # Tensor-parallel-friendly tiny config (heads/ffn divisible by a
+    # 4-way "model" mesh axis) for multi-chip dry runs.
+    "test/whisper-dryrun": dict(
+        num_mel_bins=80, d_model=128, encoder_layers=4,
+        encoder_attention_heads=4, encoder_ffn_dim=256, decoder_layers=2,
+        decoder_attention_heads=4, decoder_ffn_dim=256, vocab_size=256,
+        max_source_positions=150, max_target_positions=64,
+        decoder_start_token_id=250, eos_token_id=251,
+        no_timestamps_token_id=254, transcribe_token_id=253,
+        first_language_token_id=252, num_language_tokens=1,
+    ),
     # Hub-free tiny config for unit tests (not an HF model).  150 source
     # positions = 300 mel frames (3 s window) keeps CPU tests fast.
     "test/whisper-nano": dict(
@@ -121,6 +132,7 @@ TARGET_LAYER_IDS: Dict[str, Tuple[int, ...]] = {
     "openai/whisper-large-v3": (7, 15, 23, 31),
     "openai/whisper-large-v3-turbo": (7, 15, 23, 31),
     "test/whisper-nano": (0, 1, 2, 3),
+    "test/whisper-dryrun": (0, 1, 2, 3),
 }
 
 
@@ -202,6 +214,14 @@ _LLM_PRESETS: Dict[str, Dict[str, Any]] = {
         rope_scaling=None, tie_word_embeddings=True, qk_norm=True,
         max_position_embeddings=262144, bos_token_id=151643,
         eos_token_id=151645, chat_template="qwen3",
+    ),
+    # Tensor-parallel-friendly tiny config for multi-chip dry runs.
+    "test/llama-dryrun": dict(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=16, rope_theta=10000.0, rope_scaling=None,
+        max_position_embeddings=2048, bos_token_id=1, eos_token_id=2,
+        chat_template="llama3",
     ),
     # Hub-free tiny config for unit tests.
     "test/llama-nano": dict(

@@ -42,7 +42,8 @@ def sample_token(logits: jnp.ndarray, key, temperature: float, top_p: float,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
-                     "do_sample", "eos_ids", "pad_id"),
+                     "do_sample", "eos_ids", "pad_id", "inject_scale",
+                     "inject_heads"),
 )
 def llm_generate(
     params,
@@ -58,10 +59,31 @@ def llm_generate(
     eos_ids: Tuple[int, ...] = (),
     pad_id: int = 0,
     lora=None,
+    inject_params=None,
+    inject_tokens=None,
+    inject_scale: float = 2.5,
+    inject_heads: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Prefill + decode. Returns (tokens [B, max_new_tokens], n_generated
-    [B]) where positions past the stop token hold ``pad_id``."""
+    [B]) where positions past the stop token hold ``pad_id``.
+
+    inject_params/inject_tokens: optional ORCA gated cross-attention deep
+    injection — applied after every decoder layer during BOTH prefill and
+    decode (the reference wraps the decoder layers, so HF generate hits
+    them on every step; modeling_desta25.py:1418-1434).
+    """
     B, T, D = inputs_embeds.shape
+    extra_layer_fn = None
+    if inject_params is not None:
+        from ..models.orca import gated_cross_attention_apply
+        from ..ops.rope import fractional_rope_apply
+        roped = fractional_rope_apply(inject_tokens, inject_scale,
+                                      cfg.rope_theta)
+
+        def extra_layer_fn(idx, h):
+            lp = jax.tree.map(lambda x: x[idx], inject_params["layers"])
+            return gated_cross_attention_apply(lp, h, roped, inject_heads)
+
     Tmax = T + max_new_tokens
     cache = jllm.init_kv_cache(cfg, B, Tmax, dtype=inputs_embeds.dtype)
 
@@ -70,7 +92,8 @@ def llm_generate(
     logits, cache, _ = jllm.llm_apply(
         params, cfg, inputs_embeds=inputs_embeds,
         attention_mask=full_mask, positions=positions,
-        cache=cache, cache_index=0, lora=lora)
+        cache=cache, cache_index=0, lora=lora,
+        extra_layer_fn=extra_layer_fn)
     last_pos = positions[:, -1]
 
     key, sub = jax.random.split(key)
@@ -107,7 +130,8 @@ def llm_generate(
         logits, cache, _ = jllm.llm_apply(
             params, cfg, input_ids=s["cur"][:, None],
             attention_mask=mask, positions=s["pos"][:, None],
-            cache=s["cache"], cache_index=write_idx, lora=lora)
+            cache=s["cache"], cache_index=write_idx, lora=lora,
+            extra_layer_fn=extra_layer_fn)
         key, sub = jax.random.split(s["key"])
         nxt = sample_token(logits[:, -1], sub, temperature, top_p, do_sample)
         nxt = jnp.where(s["done"], pad_id, nxt)

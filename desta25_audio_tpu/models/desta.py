@@ -85,6 +85,11 @@ class DeSTA25AudioModel:
     # -- params -----------------------------------------------------------
 
     def init_params(self, key) -> Dict[str, Any]:
+        # One jitted program: eager init would dispatch hundreds of small
+        # ops, each paying the device-tunnel RTT (~27 ms here).
+        return jax.jit(self._init_params)(key)
+
+    def _init_params(self, key) -> Dict[str, Any]:
         kw, kl, kc, klo = jax.random.split(key, 4)
         params: Dict[str, Any] = {
             "whisper": jw.init_whisper(kw, self.enc_cfg, dtype=self.dtype),
@@ -294,17 +299,32 @@ class DeSTA25AudioModel:
         # --- phase C: device program ------------------------------------
         mel = self._mel(audio_batch)
         self._gen_key, key = jax.random.split(self._gen_key)
-        embeds, _ = self.prepare_inputs_embeds(
+        embeds, aux = self.prepare_inputs_embeds(
             self.params, jnp.asarray(input_ids), mel,
             jnp.asarray(trans_ids), jnp.asarray(kind), jnp.asarray(aidx),
             jnp.asarray(pos))
+        inject_kwargs = {}
+        if (self.config.is_orca and self.config.orca_deep_injection_enabled
+                and "orca_cross_attns" in self.params
+                and aux is not None and aux[1] is not None):
+            audio_feats, local_tokens = aux
+            if self.config.orca_global_cross_attn:
+                inject_tokens = jnp.concatenate(
+                    [audio_feats, local_tokens], axis=1)
+            else:
+                inject_tokens = local_tokens
+            inject_kwargs = dict(
+                inject_params=self.params["orca_cross_attns"],
+                inject_tokens=inject_tokens,
+                inject_scale=self.config.orca_audio_position_scale,
+                inject_heads=self.llm_cfg.num_attention_heads)
         tokens, n_gen = llm_generate(
             self.params["llm"], self.llm_cfg, embeds,
             jnp.asarray(attn_mask), key,
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, do_sample=do_sample,
             eos_ids=self._terminators(), pad_id=tk.pad_token_id,
-            lora=self.params.get("lora"))
+            lora=self.params.get("lora"), **inject_kwargs)
         tokens = np.asarray(tokens)
         texts = tk.batch_decode(tokens, skip_special_tokens=True)
         return GenerationOutput(

@@ -194,6 +194,7 @@ def llm_apply(
     lora: Optional[Params] = None,
     lora_scale: float = 1.0,
     extra_layer_fn=None,
+    extra_aux_init=None,
     return_hidden: bool = False,
     remat: bool = False,
 ):
@@ -205,13 +206,16 @@ def llm_apply(
     positions: [B, T] explicit RoPE positions; default cumsum(mask)-1.
     cache / cache_index: KV-cached decode — writes the new k/v at
     ``cache_index`` and attends over the full cache.
-    extra_layer_fn: optional ``fn(layer_idx, hidden) -> hidden`` applied
+    extra_layer_fn: optional ``fn(layer_idx, hidden) -> hidden`` — or, when
+    ``extra_aux_init`` is given, ``fn(layer_idx, hidden, aux) ->
+    (hidden, aux)`` with ``aux`` threaded through the layer scan — applied
     after each decoder layer (ORCA gated cross-attention deep injection —
     first-class here, not monkey-patched; cf. modeling_desta25.py:1052-1143).
     return_hidden: also return final hidden states (pre-logits) and, when
     True, per-layer hidden states are NOT stashed (cheap).
 
-    Returns (logits [B, T, V] float32, new_cache, hidden or None).
+    Returns (logits [B, T, V] float32, new_cache, hidden or None); with
+    ``extra_aux_init`` a 4th element carries the final aux value.
     """
     if (input_ids is None) == (inputs_embeds is None):
         raise ValueError("provide exactly one of input_ids / inputs_embeds")
@@ -244,7 +248,11 @@ def llm_apply(
     n_layers = cfg.num_hidden_layers
     layer_ids = jnp.arange(n_layers)
 
-    def layer_step(h, inp):
+    def layer_step(carry, inp):
+        if extra_aux_init is not None:
+            h, aux = carry
+        else:
+            h, aux = carry, None
         if cache is not None:
             p, idx, lp, ck, cv = inp
             layer_cache = (ck, cv)
@@ -257,37 +265,47 @@ def llm_apply(
         h = h + attn_out
         h = h + _mlp(p, rms_norm(p["ln2"], h, cfg.rms_norm_eps))
         if extra_layer_fn is not None:
-            h = extra_layer_fn(idx, h)
-        return h, new_lc
+            if extra_aux_init is not None:
+                h, aux = extra_layer_fn(idx, h, aux)
+            else:
+                h = extra_layer_fn(idx, h)
+        carry = (h, aux) if extra_aux_init is not None else h
+        return carry, new_lc
 
     if remat:
         layer_step = jax.checkpoint(layer_step)
 
     lora_layers = lora["layers"] if lora is not None else None
+    carry0 = (x, extra_aux_init) if extra_aux_init is not None else x
     if cache is not None:
         xs = (params["layers"], layer_ids, lora_layers, cache.k, cache.v) \
             if lora is not None else \
             (params["layers"], layer_ids, None, cache.k, cache.v)
         # lax.scan can't carry None in xs; expand manually.
         if lora is None:
-            def step(h, inp):
+            def step(c, inp):
                 p, idx, ck, cv = inp
-                return layer_step(h, (p, idx, None, ck, cv))
-            x, lcs = jax.lax.scan(
-                step, x, (params["layers"], layer_ids, cache.k, cache.v))
+                return layer_step(c, (p, idx, None, ck, cv))
+            out, lcs = jax.lax.scan(
+                step, carry0, (params["layers"], layer_ids, cache.k, cache.v))
         else:
-            x, lcs = jax.lax.scan(layer_step, x, xs)
+            out, lcs = jax.lax.scan(layer_step, carry0, xs)
         new_cache = KVCache(lcs[0], lcs[1])
     else:
         if lora is None:
-            def step(h, inp):
+            def step(c, inp):
                 p, idx = inp
-                return layer_step(h, (p, idx, None))
-            x, _ = jax.lax.scan(step, x, (params["layers"], layer_ids))
+                return layer_step(c, (p, idx, None))
+            out, _ = jax.lax.scan(step, carry0,
+                                  (params["layers"], layer_ids))
         else:
-            x, _ = jax.lax.scan(layer_step, x,
-                                (params["layers"], layer_ids, lora_layers))
+            out, _ = jax.lax.scan(layer_step, carry0,
+                                  (params["layers"], layer_ids, lora_layers))
         new_cache = None
+    if extra_aux_init is not None:
+        x, extra_aux = out
+    else:
+        x, extra_aux = out, None
 
     hidden = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     head = params.get("lm_head")
@@ -297,6 +315,9 @@ def llm_apply(
     else:
         logits = jnp.einsum("btd,dv->btv", hidden, head,
                             preferred_element_type=jnp.float32)
+    if extra_aux_init is not None:
+        return logits, new_cache, (hidden if return_hidden else None), \
+            extra_aux
     if return_hidden:
         return logits, new_cache, hidden
     return logits, new_cache, None

@@ -7,7 +7,10 @@ cluster".
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox presets JAX_PLATFORMS=axon (tunneled TPU) — tests must run on
+# the virtual CPU mesh unless explicitly opted onto hardware.
+if os.environ.get("DESTA_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +21,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 import jax  # noqa: E402
+
+if os.environ.get("DESTA_TEST_TPU") != "1":
+    # Something in the sandbox pins jax_platforms to "axon,cpu" regardless
+    # of the env var; override the config directly before any backend
+    # initializes.
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache — XLA CPU compiles of scanned towers dominate
 # test wall-clock otherwise.
