@@ -183,6 +183,66 @@ class AudioSegment:
             end += self.num_samples
         return AudioSegment(self.samples[start:end], self.sample_rate)
 
+    def trim_silence(self, threshold_db: float = -60.0,
+                     frame: int = 512) -> "AudioSegment":
+        """Trim leading/trailing silence below ``threshold_db`` relative to
+        the clip peak (librosa.effects.trim semantics, used by the
+        reference's trim option, desta/utils/audio.py:167-173)."""
+        x = self.samples
+        if x.size == 0:
+            return self
+        n = max(len(x) // frame, 1)
+        frames = x[:n * frame].reshape(n, frame)
+        rms_db = 10.0 * np.log10(np.mean(frames ** 2, axis=1) + 1e-12)
+        ref = rms_db.max()
+        keep = np.where(rms_db > ref + threshold_db)[0]
+        if keep.size == 0:
+            return AudioSegment(x[:0], self.sample_rate)
+        start = keep[0] * frame
+        end = min((keep[-1] + 1) * frame, len(x))
+        return AudioSegment(x[start:end], self.sample_rate)
+
+    @classmethod
+    def from_file_list(cls, paths: Sequence[str],
+                       target_sr: Optional[int] = 16000,
+                       channel_selector: Union[str, int, None] = None
+                       ) -> "AudioSegment":
+        """Load several (mono) files and stack them as channels
+        (reference from_file_list, desta/utils/audio.py:363-442)."""
+        segs = [cls.from_file(p, target_sr=target_sr,
+                              channel_selector=channel_selector or 0)
+                for p in paths]
+        srs = {s.sample_rate for s in segs}
+        if len(srs) != 1:
+            raise ValueError(f"sample rates differ across files: {srs}")
+        n = min(s.num_samples for s in segs)
+        stacked = np.stack([s.samples[:n] for s in segs], axis=1)
+        return cls(stacked, segs[0].sample_rate)
+
+    @classmethod
+    def segment_from_file(cls, path: str, target_sr: int = 16000,
+                          n_segments: int = 0, offset: Optional[float] = None,
+                          channel_selector: Union[str, int, None] = "average",
+                          rng: Optional[np.random.Generator] = None
+                          ) -> "AudioSegment":
+        """Read a fixed-length segment: random offset when ``offset`` is
+        None, zero-pad short files (reference segment_from_file,
+        desta/utils/audio.py:444-512).  ``n_segments`` is in samples at
+        ``target_sr``."""
+        seg = cls.from_file(path, target_sr=target_sr,
+                            channel_selector=channel_selector)
+        if n_segments <= 0 or seg.num_samples == n_segments:
+            return seg
+        if seg.num_samples < n_segments:
+            return seg.pad(n_segments - seg.num_samples)
+        max_start = seg.num_samples - n_segments
+        if offset is not None:
+            start = min(int(offset * target_sr), max_start)
+        else:
+            start = int((rng or np.random.default_rng()
+                         ).integers(0, max_start + 1))
+        return cls(seg.samples[start:start + n_segments], seg.sample_rate)
+
 
 def write_wav(path: str, samples: np.ndarray, sr: int = 16000):
     """Write mono/stereo float32 [-1,1] as 16-bit PCM (test fixtures)."""
