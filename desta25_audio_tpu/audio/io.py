@@ -137,6 +137,17 @@ class AudioSegment:
                   duration: Optional[float] = None) -> "AudioSegment":
         if not os.path.exists(path):
             raise FileNotFoundError(path)
+        # Native C++ fast path (decode+mixdown+resample in one call,
+        # GIL-free) for the common loader case.
+        if (offset == 0.0 and duration is None
+                and channel_selector == "average" and target_sr is not None):
+            from .. import native
+            if native.available():
+                try:
+                    samples = native.load_audio(path, target_sr)
+                    return cls(samples=samples, sample_rate=target_sr)
+                except ValueError:
+                    pass  # unsupported format -> python fallback
         samples, sr = read_wav(path)
         samples = select_channels(samples, channel_selector)
         if offset:

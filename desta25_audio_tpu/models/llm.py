@@ -124,7 +124,7 @@ def _lora_delta(x, lp, scale: float):
 
 def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
                layer_cache=None, cache_index=None, lora=None,
-               lora_scale: float = 1.0):
+               lora_scale: float = 1.0, flash_attention_mask=None):
     B, T, D = x.shape
     H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
@@ -157,17 +157,23 @@ def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
         k, v = ck, cv
         new_cache = (ck, cv)
 
-    # GQA attention, f32 softmax.
-    rep = H // Hkv
-    kr = jnp.repeat(k, rep, axis=2)
-    vr = jnp.repeat(v, rep, axis=2)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, kr,
-                        preferred_element_type=jnp.float32)
-    logits = logits * (Dh ** -0.5)
-    logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    probs = jax.nn.softmax(logits, axis=-1).astype(vr.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vr,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if layer_cache is None and flash_attention_mask is not None:
+        # flash path (TPU, long-enough sequences) — causal + per-token mask
+        from ..ops.attention import mha as dispatch_mha
+        out = dispatch_mha(q, k, v, causal=True,
+                           attention_mask=flash_attention_mask)
+    else:
+        # XLA path with an explicit combined mask (decode / short seqs)
+        rep = H // Hkv
+        kr = jnp.repeat(k, rep, axis=2)
+        vr = jnp.repeat(v, rep, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kr,
+                            preferred_element_type=jnp.float32)
+        logits = logits * (Dh ** -0.5)
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+        probs = jax.nn.softmax(logits, axis=-1).astype(vr.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vr,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     out = shard_activation(out, ("data", None, "model", None))
     out = out.reshape(B, T, H * Dh)
     return _proj(out, p["wo"]), new_cache
@@ -239,6 +245,7 @@ def llm_apply(
             attention_mask = jnp.ones((B, T), jnp.int32)
         causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
         mask = causal & (attention_mask[:, None, None, :] > 0)
+        flash_mask = attention_mask
         if positions is None:
             positions = jnp.maximum(
                 jnp.cumsum(attention_mask, axis=1) - 1, 0)
@@ -261,7 +268,8 @@ def llm_apply(
             layer_cache = None
         attn_out, new_lc = _attention(
             p, rms_norm(p["ln1"], h, cfg.rms_norm_eps), cos, sin, mask, cfg,
-            layer_cache, cache_index, lp, lora_scale)
+            layer_cache, cache_index, lp, lora_scale,
+            flash_attention_mask=(None if cache is not None else flash_mask))
         h = h + attn_out
         h = h + _mlp(p, rms_norm(p["ln2"], h, cfg.rms_norm_eps))
         if extra_layer_fn is not None:

@@ -147,10 +147,13 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 
 def _attn(p: Params, q_in: jnp.ndarray, kv_in: jnp.ndarray, n_heads: int,
           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    from ..ops.attention import mha as dispatch_mha
     q = _split_heads(linear(p["q"], q_in), n_heads)
     k = _split_heads(linear(p["k"], kv_in), n_heads)
     v = _split_heads(linear(p["v"], kv_in), n_heads)
-    out = mha(q, k, v, mask=mask)
+    # mask-free bidirectional encoder attention takes the Pallas flash
+    # path on TPU (ops/attention.py); masked decoder paths fall back to XLA
+    out = dispatch_mha(q, k, v, mask=mask)
     return linear(p["o"], _merge_heads(out))
 
 

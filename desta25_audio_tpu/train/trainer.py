@@ -53,6 +53,7 @@ class TrainerConfig:
     remat: bool = False
     eval_before_train: bool = True
     eval_max_batches: int = -1
+    num_workers: int = 0  # >0 enables the prefetching thread-pool loader
     seed: int = 0
 
 
@@ -159,8 +160,15 @@ class DeSTA25Trainer:
         max_epochs = (10 ** 9 if self.tcfg.max_steps > 0
                       else self.tcfg.max_epochs)
         for epoch in range(start_epoch, max_epochs):
-            for batch in data_loader(self.train_dataset, self.collate_fn,
-                                     bs, epoch=epoch):
+            if self.tcfg.num_workers > 0:
+                from ..data.prefetch import PrefetchLoader
+                loader = PrefetchLoader(
+                    self.train_dataset, self.collate_fn, bs, epoch=epoch,
+                    num_workers=self.tcfg.num_workers)
+            else:
+                loader = data_loader(self.train_dataset, self.collate_fn,
+                                     bs, epoch=epoch)
+            for batch in loader:
                 if batch.get("_empty_batch"):
                     logger.warning("empty batch at step %d; skipped",
                                    self.global_step)

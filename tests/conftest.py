@@ -35,6 +35,8 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test draws the same stream regardless of
+    # execution order (a session-scoped generator made tolerances flaky)
     return np.random.default_rng(0)
