@@ -191,15 +191,82 @@ class DeSTA25AudioModel:
 
     def generate(self, messages, temperature: float = 0.7,
                  top_p: float = 0.9, do_sample: bool = True,
-                 max_new_tokens: int = 512) -> GenerationOutput:
+                 max_new_tokens: int = 512,
+                 auto_chunk_long_audio: bool = False) -> GenerationOutput:
         """Reference-compatible inference entry point
-        (modeling_desta25.py:1491-1721)."""
+        (modeling_desta25.py:1491-1721).
+
+        auto_chunk_long_audio: split clips longer than Whisper's 30 s
+        window into overlapping windows spliced as consecutive audio
+        blocks (extension; the reference truncates at 30 s — SURVEY §5).
+        Only audios without a user transcription are chunked.
+        """
         if isinstance(messages, list):
             messages_list = ([messages] if isinstance(messages[0], dict)
                              else messages)
         else:
             raise ValueError(
                 "messages should be a list of dicts or a list of lists.")
+        cleanup_paths: List[str] = []
+        if auto_chunk_long_audio:
+            messages_list = self._chunk_long_audios(messages_list,
+                                                    cleanup_paths)
+        try:
+            return self._generate_impl(messages_list, temperature, top_p,
+                                       do_sample, max_new_tokens)
+        finally:
+            for p in cleanup_paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+    def _chunk_long_audios(self, messages_list, cleanup_paths):
+        """Split >30 s clips into window chunks, duplicating locators."""
+        import tempfile
+
+        from ..audio.chunking import WINDOW, chunk_audio
+        from ..audio.io import write_wav
+        out_list = []
+        for msgs in messages_list:
+            new_msgs = []
+            for message in msgs:
+                audios = message.get("audios", [])
+                if not audios:
+                    new_msgs.append(message)
+                    continue
+                new_audios = []
+                n_chunks = []
+                for audio in audios:
+                    if audio.get("text") is not None:
+                        new_audios.append(audio)
+                        n_chunks.append(1)
+                        continue
+                    seg = AudioSegment.from_file(
+                        audio["audio"], target_sr=16000,
+                        channel_selector="average")
+                    if seg.num_samples <= WINDOW:
+                        new_audios.append(audio)
+                        n_chunks.append(1)
+                        continue
+                    chunks = chunk_audio(seg.samples)
+                    for c in chunks:
+                        f = tempfile.NamedTemporaryFile(
+                            suffix=".wav", delete=False)
+                        write_wav(f.name, c)
+                        cleanup_paths.append(f.name)
+                        new_audios.append({"audio": f.name, "text": None})
+                    n_chunks.append(len(chunks))
+                from ..audio.chunking import expand_message_for_chunks
+                content = expand_message_for_chunks(
+                    message["content"], self.audio_locator, n_chunks)
+                new_msgs.append({**message, "content": content,
+                                 "audios": new_audios})
+            out_list.append(new_msgs)
+        return out_list
+
+    def _generate_impl(self, messages_list, temperature, top_p, do_sample,
+                       max_new_tokens) -> GenerationOutput:
 
         tk = self.tokenizer
         all_audios: List[str] = []
