@@ -138,18 +138,25 @@ class AudioTextDataset:
             self.skip_reasons["audio_file_not_found"] += 1
             return None
 
-        if self.audio_locator not in context:
-            self.skip_reasons["no_audio_markers"] += 1
-            return None
-
         K = self.config.audio_token_size
         transcription = ""  # training uses empty transcriptions
         trans_size = len(tk.tokenize(transcription,
                                      add_special_tokens=False))
-        toks, starts = expand_audio_placeholders(
-            tk.tokenize(context), self.audio_locator, [K], [trans_size],
-            self.placeholder_token)
-        audio_context = tk.convert_tokens_to_string(toks)
+        # Prefer <start_audio>...<end_audio> blocks when present (the
+        # training-stage marker format, simple_dataset.py:674-699), else
+        # expand the bare locator.
+        if "<start_audio>" in context and "<end_audio>" in context:
+            from ..models.splice import expand_audio_blocks
+            audio_context, starts = expand_audio_blocks(
+                context, [K], [trans_size], self.placeholder_token, tk)
+        elif self.audio_locator in context:
+            toks, starts = expand_audio_placeholders(
+                tk.tokenize(context), self.audio_locator, [K], [trans_size],
+                self.placeholder_token)
+            audio_context = tk.convert_tokens_to_string(toks)
+        else:
+            self.skip_reasons["no_audio_markers"] += 1
+            return None
         eos = getattr(tk, "eos_token", None) or ""
         return {
             "audio_context": audio_context,

@@ -81,6 +81,9 @@ class DeSTA25AudioModel:
         self._tokenizer = tokenizer
         self._whisper_tokenizer = None
         self._gen_key = jax.random.PRNGKey(seed + 1)
+        # jitted phase-C prepare (perception + splice): eager execution
+        # would dispatch every op over the device tunnel individually
+        self._prepare_jit = jax.jit(self.prepare_inputs_embeds)
 
     # -- params -----------------------------------------------------------
 
@@ -157,11 +160,14 @@ class DeSTA25AudioModel:
     # -- device programs --------------------------------------------------
 
     def _mel(self, audio_batch: np.ndarray) -> jnp.ndarray:
-        """[N, samples] -> [N, frames, n_mels] log-mel (device)."""
-        x = pad_or_trim(jnp.asarray(audio_batch),
-                        self.enc_cfg.expected_mel_frames * 160)
-        return log_mel(x, self.enc_cfg.num_mel_bins, layout="btm"
-                       ).astype(self.dtype)
+        """[N, samples] -> [N, frames, n_mels] log-mel (device, jitted)."""
+        if not hasattr(self, "_mel_jit"):
+            def f(a):
+                x = pad_or_trim(a, self.enc_cfg.expected_mel_frames * 160)
+                return log_mel(x, self.enc_cfg.num_mel_bins, layout="btm"
+                               ).astype(self.dtype)
+            self._mel_jit = jax.jit(f)
+        return self._mel_jit(jnp.asarray(audio_batch))
 
     def _asr(self, audio_batch: np.ndarray, max_new_tokens: int = 128
              ) -> List[str]:
@@ -366,7 +372,7 @@ class DeSTA25AudioModel:
         # --- phase C: device program ------------------------------------
         mel = self._mel(audio_batch)
         self._gen_key, key = jax.random.split(self._gen_key)
-        embeds, aux = self.prepare_inputs_embeds(
+        embeds, aux = self._prepare_jit(
             self.params, jnp.asarray(input_ids), mel,
             jnp.asarray(trans_ids), jnp.asarray(kind), jnp.asarray(aidx),
             jnp.asarray(pos))

@@ -47,6 +47,43 @@ def expand_audio_placeholders(
     return result, start_positions
 
 
+def expand_audio_blocks(
+    text: str,
+    audio_size_list: Sequence[int],
+    transcription_size_list: Sequence[int],
+    placeholder_token: str,
+    tokenizer,
+    start_tag: str = "<start_audio>",
+    end_tag: str = "<end_audio>",
+) -> Tuple[str, List[int]]:
+    """Block-marker variant of the placeholder expansion: replace every
+    ``<start_audio>...<end_audio>`` span (content discarded) with
+    audio_size + transcription_size placeholder tokens, recording start
+    positions (reference ``_prepare_audio_context_with_start_end_tags``,
+    simple_dataset.py:41-100)."""
+    import re
+    pattern = re.escape(start_tag) + r".*?" + re.escape(end_tag)
+    matches = list(re.finditer(pattern, text, re.DOTALL))
+
+    result: List[str] = []
+    start_positions: List[int] = []
+    last_end = 0
+    for i, m in enumerate(matches):
+        prefix = text[last_end:m.start()]
+        if prefix:
+            result.extend(tokenizer.tokenize(prefix,
+                                             add_special_tokens=False))
+        start_positions.append(len(result))
+        if i < len(audio_size_list) and i < len(transcription_size_list):
+            total = audio_size_list[i] + transcription_size_list[i]
+            result.extend([placeholder_token] * total)
+        last_end = m.end()
+    suffix = text[last_end:]
+    if suffix:
+        result.extend(tokenizer.tokenize(suffix, add_special_tokens=False))
+    return tokenizer.convert_tokens_to_string(result), start_positions
+
+
 @dataclass
 class SpliceEntry:
     """One audio occurrence: row ``batch_idx`` at token offset ``start``

@@ -264,7 +264,7 @@ class DeSTA25Trainer:
         wav = pad_or_trim(db["audio"], enc_cfg.expected_mel_frames * 160)
         mel = log_mel(wav, enc_cfg.num_mel_bins, layout="btm"
                       ).astype(self.model.dtype)
-        embeds, _ = self.model.prepare_inputs_embeds(
+        embeds, _ = self.model._prepare_jit(
             self.model.params, db["input_ids"], mel, db["trans_ids"],
             db["kind"], db["aidx"], db["pos"])
         tk = self.model.tokenizer
