@@ -146,7 +146,9 @@ def llm_generate(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "max_new_tokens", "language_token"))
+                   static_argnames=("cfg", "max_new_tokens",
+                                    "language_token", "suppress_ids",
+                                    "suppress_from"))
 def whisper_transcribe(
     params,
     cfg: WhisperConfig,
@@ -154,13 +156,17 @@ def whisper_transcribe(
     *,
     max_new_tokens: int = 128,
     language_token: Optional[int] = None,
+    suppress_ids: Tuple[int, ...] = (),
+    suppress_from: Optional[int] = None,
 ) -> jnp.ndarray:
     """Greedy ASR decode (reference ASR-in-the-loop,
     modeling_desta25.py:1586-1594).
 
     Start sequence: <|sot|> <|lang|> <|transcribe|> <|notimestamps|>; the
     language token is detected from the first decoder step when not given
-    (Whisper detect_language behavior).  Returns token ids
+    (Whisper detect_language behavior).  ``suppress_ids`` masks Whisper's
+    non-text special tokens (HF generation_config.suppress_tokens) so real
+    checkpoints don't emit them under greedy decode.  Returns token ids
     [N, max_new_tokens] padded with eos.
     """
     N = mel.shape[0]
@@ -168,6 +174,20 @@ def whisper_transcribe(
     ckv = jw.whisper_cross_kv(params["decoder"], enc_out, cfg)
 
     sot = cfg.decoder_start_token_id
+
+    def suppress(lg):
+        # ``suppress_from`` blanks the whole special-token block
+        # (sot/language/task/timestamp ids sit at the top of the vocab);
+        # ``suppress_ids`` blanks an explicit list (HF suppress_tokens).
+        if suppress_from is not None:
+            ids = jnp.arange(lg.shape[-1])
+            keep = (ids < suppress_from) | (ids == cfg.eos_token_id)
+            lg = jnp.where(keep, lg, -jnp.inf)
+        if suppress_ids:
+            lg = lg.at[..., jnp.asarray(suppress_ids, jnp.int32)
+                       ].set(-jnp.inf)
+        return lg
+
     if language_token is None:
         # one step from <|sot|>, argmax restricted to the language block
         lg, _ = jw.whisper_decoder_apply(
@@ -192,7 +212,7 @@ def whisper_transcribe(
     logits, cache = jw.whisper_decoder_apply(
         params["decoder"], prefix, ckv, cfg, pos_offset=0, cache=cache,
         cache_index=0)
-    tok0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    tok0 = jnp.argmax(suppress(logits[:, -1]), axis=-1).astype(jnp.int32)
     eos = cfg.eos_token_id
 
     out0 = jnp.full((N, max_new_tokens), eos, jnp.int32).at[:, 0].set(tok0)
@@ -207,7 +227,7 @@ def whisper_transcribe(
         lg, cache = jw.whisper_decoder_apply(
             params["decoder"], s["cur"][:, None], ckv, cfg,
             pos_offset=P + t, cache=s["cache"], cache_index=P + t)
-        nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        nxt = jnp.argmax(suppress(lg[:, -1]), axis=-1).astype(jnp.int32)
         nxt = jnp.where(s["done"], eos, nxt)
         return dict(t=t + 1, cur=nxt, done=s["done"] | (nxt == eos),
                     out=s["out"].at[:, t + 1].set(nxt), cache=cache)

@@ -172,8 +172,13 @@ class DeSTA25AudioModel:
     def _asr(self, audio_batch: np.ndarray, max_new_tokens: int = 128
              ) -> List[str]:
         mel = self._mel(audio_batch)
+        # suppress the special-token block (language/task/timestamps) for
+        # real checkpoints; nano test vocabs keep everything decodable
+        suppress_from = (None if self.config.encoder_model_id.startswith(
+            "test/") else self.enc_cfg.decoder_start_token_id)
         ids = whisper_transcribe(self.params["whisper"], self.enc_cfg, mel,
-                                 max_new_tokens=max_new_tokens)
+                                 max_new_tokens=max_new_tokens,
+                                 suppress_from=suppress_from)
         return self.whisper_tokenizer.batch_decode(
             np.asarray(ids), skip_special_tokens=True)
 
