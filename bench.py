@@ -4,10 +4,11 @@ Primary metric (BASELINE.json): audio-sec/s/chip through the perception
 path (fused Pallas mel frontend -> whisper-large-v3 encoder with layer
 taps -> 6-layer Q-Former connector), bf16, batch 8, on one chip.
 
-Also reported in "detail": decode tokens/s/chip (Qwen3-4B dims — the 8B
-Llama does not fit one 16 GB v5e chip in bf16; multi-chip tp runs cover it
-on real slices) and p50 TTFT for a single-clip request (mel -> encoder ->
-connector -> splice -> prefill -> first token).
+Also reported in "detail": decode tokens/s/chip for the flagship
+Llama-3.1-8B with int8 weight-only quantization (the only way 8B fits one
+16 GB v5e chip; weights stream as int8 through a Pallas dequant-matmul) at
+batch 8 and 32, and p50 TTFT for a single-clip request (mel -> encoder ->
+connector -> splice -> 8B prefill -> first token).
 
 Timing methodology: this environment's TPU tunnel defers execution past
 ``block_until_ready`` and has ~27 ms RTT per synchronous fetch, so the
@@ -138,72 +139,84 @@ def main():
 
 
 def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
-    """Decode tokens/s/chip (Qwen3-4B dims, bf16, batch 8) and p50 TTFT."""
+    """Flagship decode tokens/s/chip (Llama-3.1-8B, int8 weights) + TTFT."""
     import sys
 
-    from desta25_audio_tpu.config import llm_config_for
+    from desta25_audio_tpu.config import DeSTA25Config, llm_config_for
     from desta25_audio_tpu.models import llm as jllm
     from desta25_audio_tpu.models import whisper as jw
-    from desta25_audio_tpu.models.qformer import qformer_connector_apply
+    from desta25_audio_tpu.models.qformer import (
+        init_qformer_connector,
+        qformer_connector_apply,
+    )
     from desta25_audio_tpu.ops.mel_pallas import log_mel_pallas
+    from desta25_audio_tpu.ops.quant import quantize_llm_params
     from desta25_audio_tpu.utils.fast_init import random_tree_like
 
-    from desta25_audio_tpu.config import DeSTA25Config
-    from desta25_audio_tpu.models.qformer import init_qformer_connector
-
-    llm_cfg = llm_config_for("Qwen/Qwen3-4B-Instruct-2507")
-    lp = random_tree_like(
-        jax.random.PRNGKey(2), lambda k: jllm.init_llm(k, llm_cfg,
-                                                       dtype=jnp.bfloat16))
-    # connector projecting to the Qwen3-4B width for the TTFT pipeline
-    cfg4 = DeSTA25Config(
-        llm_model_id="Qwen/Qwen3-4B-Instruct-2507",
+    llm_cfg = llm_config_for("DeSTA-ntu/Llama-3.1-8B-Instruct")
+    # build the int8 tree directly at random (bf16+int8 copies of 8B
+    # wouldn't co-reside in 16 GB)
+    qshape = jax.eval_shape(
+        lambda k: quantize_llm_params(
+            jllm.init_llm(k, llm_cfg, dtype=jnp.bfloat16)),
+        jax.random.PRNGKey(0))
+    lp = random_tree_like(jax.random.PRNGKey(2), lambda k: qshape,
+                          scale=0.02)
+    cfg8 = DeSTA25Config(
+        llm_model_id="DeSTA-ntu/Llama-3.1-8B-Instruct",
         encoder_model_id=cfg.encoder_model_id,
         connector_mode="qformer_1", qformer_num_hidden_layers=6,
         prompt_size=cfg.prompt_size, dtype="bfloat16")
-    conn4 = random_tree_like(
+    conn8 = random_tree_like(
         jax.random.PRNGKey(3),
-        lambda k: init_qformer_connector(k, cfg4, dtype=jnp.bfloat16))
-    jax.block_until_ready((lp, conn4))
+        lambda k: init_qformer_connector(k, cfg8, dtype=jnp.bfloat16))
+    jax.block_until_ready((lp, conn8))
     print("llm init done", file=sys.stderr)
 
-    # --- decode throughput: B=8, ctx 192 prefilled, 64 decode steps ----
-    B, CTX, STEPS = 8, 192, 64
-    Tmax = CTX + STEPS
     enc_cfg = cfg.encoder_config
+    CTX, STEPS = 192, 64
 
-    def decode_many(params, tokens0):
-        cache = jllm.init_kv_cache(llm_cfg, B, Tmax, dtype=jnp.bfloat16)
-        ids = jnp.ones((B, CTX), jnp.int32)
-        mask = jnp.ones((B, Tmax), jnp.int32)
-        logits, cache, _ = jllm.llm_apply(
-            params, llm_cfg, input_ids=ids, attention_mask=mask,
-            cache=cache, cache_index=0)
-        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    def make_decode(B):
+        Tmax = CTX + STEPS
 
-        def body(carry, t):
-            tok, cache = carry
-            lg, cache, _ = jllm.llm_apply(
-                params, llm_cfg, input_ids=tok[:, None],
-                attention_mask=mask, positions=(CTX + t)[None, None]
-                + jnp.zeros((B, 1), jnp.int32),
-                cache=cache, cache_index=CTX + t)
-            nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
-            return (nxt, cache), None
+        def decode_many(params):
+            cache = jllm.init_kv_cache(llm_cfg, B, Tmax,
+                                       dtype=jnp.bfloat16)
+            ids = jnp.ones((B, CTX), jnp.int32)
+            mask = jnp.ones((B, Tmax), jnp.int32)
+            logits, cache, _ = jllm.llm_apply(
+                params, llm_cfg, input_ids=ids, attention_mask=mask,
+                cache=cache, cache_index=0)
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
 
-        (tok, cache), _ = jax.lax.scan(body, (tok, cache),
-                                       jnp.arange(STEPS))
-        return jnp.sum(tok)
+            def body(carry, t):
+                tok, cache = carry
+                lg, cache, _ = jllm.llm_apply(
+                    params, llm_cfg, input_ids=tok[:, None],
+                    attention_mask=mask, positions=(CTX + t)[None, None]
+                    + jnp.zeros((B, 1), jnp.int32),
+                    cache=cache, cache_index=CTX + t)
+                nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+                return (nxt, cache), None
 
-    f = jax.jit(decode_many)
-    t0 = time.time()
-    float(f(lp, jnp.zeros((B,), jnp.int32)))
-    print(f"decode compile {time.time()-t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    float(f(lp, jnp.zeros((B,), jnp.int32)))
-    total = time.time() - t0 - rtt
-    # total includes one prefill of CTX; decode portion dominates
-    decode_tok_s = B * STEPS / max(total, 1e-9)
+            (tok, cache), _ = jax.lax.scan(body, (tok, cache),
+                                           jnp.arange(STEPS))
+            return jnp.sum(tok)
+
+        return jax.jit(decode_many)
+
+    decode_results = {}
+    for B in (8, 32):
+        f = make_decode(B)
+        t0 = time.time()
+        float(f(lp))
+        print(f"decode b{B} compile {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        float(f(lp))
+        total = time.time() - t0 - rtt
+        decode_results[B] = B * STEPS / max(total, 1e-9)
+    decode_tok_s = decode_results[8]
 
     # --- TTFT: single clip, full pipeline to first token ---------------
     T_CTX = 128
@@ -213,8 +226,8 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
         mel = log_mel_pallas(audio, enc_cfg.num_mel_bins
                              ).astype(jnp.bfloat16)
         _, taps = jw.whisper_encoder_apply(enc_p, mel, enc_cfg,
-                                           cfg4.target_layer_ids)
-        feats = qformer_connector_apply(conn_p, taps, cfg4)
+                                           cfg8.target_layer_ids)
+        feats = qformer_connector_apply(conn_p, taps, cfg8)
         ids = jnp.ones((1, T_CTX), jnp.int32)
         embeds = jllm.embed_tokens(llm_p, ids)
         embeds = jax.lax.dynamic_update_slice(
@@ -228,17 +241,19 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
         return jnp.argmax(logits[0, -1])
 
     g = jax.jit(ttft)
-    int(g(enc_params, conn4, lp, clip1))
+    int(g(enc_params, conn8, lp, clip1))
     samples = []
     for _ in range(7):
         t0 = time.time()
-        int(g(enc_params, conn4, lp, clip1))
+        int(g(enc_params, conn8, lp, clip1))
         samples.append(time.time() - t0 - rtt)
     samples.sort()
     p50 = samples[len(samples) // 2]
     return {
-        "decode_tok_s_per_chip_qwen3_4b_b8": round(decode_tok_s, 1),
-        "ttft_p50_ms_single_clip": round(p50 * 1e3, 2),
+        "decode_tok_s_per_chip_llama8b_int8_b8": round(decode_results[8], 1),
+        "decode_tok_s_per_chip_llama8b_int8_b32": round(decode_results[32],
+                                                        1),
+        "ttft_p50_ms_single_clip_llama8b_int8": round(p50 * 1e3, 2),
     }
 
 

@@ -112,6 +112,9 @@ def init_lora(key, cfg: LLMConfig, rank: int, dtype=jnp.float32) -> Params:
 
 
 def _proj(x, w):
+    from ..ops.quant import is_quantized, quant_matmul
+    if is_quantized(w):
+        return quant_matmul(x, w)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -321,9 +324,14 @@ def llm_apply(
 
     hidden = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     head = params.get("lm_head")
+    from ..ops.quant import is_quantized, quant_matmul
     if head is None:
         logits = jnp.einsum("btd,vd->btv", hidden, params["embed"],
                             preferred_element_type=jnp.float32)
+    elif is_quantized(head):
+        # quantized heads may be out-padded for kernel blocking
+        logits = quant_matmul(hidden, head,
+                              out_dtype=jnp.float32)[..., :cfg.vocab_size]
     else:
         logits = jnp.einsum("btd,dv->btv", hidden, head,
                             preferred_element_type=jnp.float32)

@@ -1,0 +1,169 @@
+"""Weight-only int8 quantization for decode.
+
+Decode is HBM-bound on weight reads; storing matmul weights as int8 with
+per-output-channel scales halves the traffic (and fits the 8B flagship on
+one 16 GB v5e chip).  The matmul runs as a Pallas kernel that DMAs int8
+tiles into VMEM, dequantizes there, and feeds the MXU in bf16 — the
+dequantized weight never exists in HBM.  (A plain XLA ``convert + dot``
+would materialize the bf16 weight, erasing the bandwidth win.)
+
+Representation: a quantized leaf is ``{"q": int8 [in, out],
+"s": float32 [out]}``; ``models.llm`` consumes it transparently.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QuantLeaf = Dict[str, jnp.ndarray]
+
+
+def quantize_weight(w: jnp.ndarray, pad_out_to: int = 1) -> QuantLeaf:
+    """[in, out] float -> symmetric per-out-channel int8.
+
+    pad_out_to: zero-pad the out dim to a multiple (odd vocab sizes make
+    terrible kernel blocks; callers slice the matmul output back)."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    N = q.shape[1]
+    Np = -(-N // pad_out_to) * pad_out_to
+    if Np != N:
+        q = jnp.pad(q, ((0, 0), (0, Np - N)))
+        scale = jnp.pad(scale, (0, Np - N), constant_values=1.0)
+    return {"q": q, "s": scale}
+
+
+def dequantize_weight(leaf: QuantLeaf, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (leaf["q"].astype(jnp.float32) * leaf["s"][None, :]).astype(dtype)
+
+
+def is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and "q" in leaf and "s" in leaf
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: x [M, K] bf16 @ w int8 [K, N] * s [N] -> [M, N]
+# ---------------------------------------------------------------------------
+
+_BK = 512
+_BN = 512
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    wt = w_ref[:].astype(jnp.bfloat16)  # dequant (scale applied at flush)
+    acc[:] += jnp.dot(x_ref[:].astype(jnp.bfloat16), wt,
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = (acc[:] * s_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+def quant_matmul(x: jnp.ndarray, leaf: QuantLeaf,
+                 out_dtype=None) -> jnp.ndarray:
+    """x: [..., K] bf16/f32; leaf: int8 [K, N] + scale [N] -> [..., N]."""
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    N = leaf["q"].shape[1]
+    M_total = 1
+    for d in orig_shape[:-1]:
+        M_total *= d
+    # The Pallas kernel keeps all M rows resident in VMEM — right for
+    # decode-sized M.  Prefill-sized M is compute-bound, so the dequant
+    # materialization cost amortizes; use the XLA path there (and on CPU).
+    if jax.default_backend() != "tpu" or M_total > 256:
+        y = jnp.dot(x, dequantize_weight(leaf, x.dtype),
+                    preferred_element_type=jnp.float32)
+        return y.astype(out_dtype or x.dtype)
+
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    # pad M to the bf16 sublane multiple
+    Mp = max(-(-M // 16) * 16, 16)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    # Block policy (measured on v5e): large blocks amortize per-grid-step
+    # overhead — decode matmuls at tiny M are pipeline-bound, so fewer,
+    # fatter DMAs win.  Keep the double-buffered weight tile under ~6 MB of
+    # VMEM; bn must be a multiple of 128.
+    def divisors_desc(dim, limit, mult):
+        return [b for b in range(min(limit, dim), 0, -mult)
+                if dim % b == 0 and b % mult == 0]
+
+    bn_opts = divisors_desc(N, 2560, 128) or [N]
+    bn = bn_opts[0]
+    budget = 6 * 1024 * 1024  # int8 bytes
+    bk = K
+    if K * bn > budget:
+        for b in divisors_desc(K, K, 128):
+            if b * bn <= budget:
+                bk = b
+                break
+        else:
+            bk = 128
+
+    out = pl.pallas_call(
+        _qmm_kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype or x.dtype),
+        grid=(N // bn, K // bk),
+        in_specs=[
+            pl.BlockSpec((Mp, bk), lambda n, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda n, k: (0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, bn), lambda n, k: (0, n),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Mp, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(x2, leaf["q"], leaf["s"][None, :])
+    if Mp != M:
+        out = out[:M]
+    return out.reshape(*orig_shape[:-1], N)
+
+
+# ---------------------------------------------------------------------------
+# Tree quantization for the LLM
+# ---------------------------------------------------------------------------
+
+_LLM_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_llm_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize the LLM's matmul weights (per layer, batched over the
+    stacked layer axis) plus the lm_head.
+
+    The embedding table stays bf16 (lookups + splice need full-quality
+    vectors and gathers aren't bandwidth-bound), but tied models gain an
+    explicit quantized lm_head built from embed.T so the per-step logits
+    matmul — the single largest weight read at decode — goes int8."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for key in _LLM_QUANT_KEYS:
+        w = layers[key]  # [L, in, out]
+        layers[key] = jax.vmap(quantize_weight)(w)
+    out["layers"] = layers
+    if "lm_head" in params:
+        out["lm_head"] = quantize_weight(params["lm_head"], pad_out_to=2560)
+    else:
+        out["lm_head"] = quantize_weight(jnp.transpose(params["embed"]),
+                                         pad_out_to=2560)
+    return out

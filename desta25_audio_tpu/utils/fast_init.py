@@ -28,6 +28,9 @@ def random_tree_like(key, init_fn, scale: float = 0.02):
             if jnp.issubdtype(leaf.dtype, jnp.floating):
                 x = (jax.random.normal(key_stack[i], leaf.shape, jnp.float32)
                      * scale).astype(leaf.dtype)
+            elif leaf.dtype == jnp.int8:
+                x = jax.random.randint(key_stack[i], leaf.shape, -127, 128,
+                                       jnp.int32).astype(jnp.int8)
             else:
                 x = jnp.zeros(leaf.shape, leaf.dtype)
             out.append(x)
