@@ -110,6 +110,17 @@ _WHISPER_PRESETS: Dict[str, Dict[str, Any]] = {
         no_timestamps_token_id=254, transcribe_token_id=253,
         first_language_token_id=252, num_language_tokens=1,
     ),
+    # 6-layer variant: selected taps (4) != total layers (6), for
+    # checkpoint layer-count reconfiguration tests.
+    "test/whisper-nano6": dict(
+        num_mel_bins=80, d_model=64, encoder_layers=6, encoder_attention_heads=2,
+        encoder_ffn_dim=128, decoder_layers=2, decoder_attention_heads=2,
+        decoder_ffn_dim=128, vocab_size=256, max_source_positions=150,
+        max_target_positions=64,
+        decoder_start_token_id=250, eos_token_id=251,
+        no_timestamps_token_id=254, transcribe_token_id=253,
+        first_language_token_id=252, num_language_tokens=1,
+    ),
     # Hub-free tiny config for unit tests (not an HF model).  150 source
     # positions = 300 mel frames (3 s window) keeps CPU tests fast.
     "test/whisper-nano": dict(
@@ -132,6 +143,7 @@ TARGET_LAYER_IDS: Dict[str, Tuple[int, ...]] = {
     "openai/whisper-large-v3": (7, 15, 23, 31),
     "openai/whisper-large-v3-turbo": (7, 15, 23, 31),
     "test/whisper-nano": (0, 1, 2, 3),
+    "test/whisper-nano6": (0, 2, 3, 5),
     "test/whisper-dryrun": (0, 1, 2, 3),
 }
 

@@ -484,6 +484,37 @@ class DeSTA25AudioModel:
                                    "random init", tower, model_id)
         st = os.path.join(path, "model.safetensors")
         if os.path.exists(st):
-            model.params = load_trainable_safetensors(
-                model.params, config, st)
+            try:
+                model.params = load_trainable_safetensors(
+                    model.params, config, st)
+            except ValueError as e:
+                if "tapped layers" not in str(e):
+                    raise
+                # Shape-driven reconfiguration (reference load_state_dict,
+                # modeling_desta25.py:1312-1354): the checkpoint's tap count
+                # decides between selected-layer and all-layer taps.
+                from safetensors.numpy import load_file
+                sd = load_file(st)
+                n_taps_ckpt = int(
+                    sd["perception.connector.global_layer_weights"].shape[1])
+                all_layers = (n_taps_ckpt
+                              == config.encoder_config.encoder_layers)
+                logger.warning(
+                    "checkpoint has %d tapped layers; reconfiguring "
+                    "connector with orca_use_all_layers=%s", n_taps_ckpt,
+                    all_layers)
+                config = dataclasses.replace(
+                    config, orca_use_all_layers=all_layers)
+                model = cls(config, seed=seed, **kwargs)
+                if weights_root:
+                    for tower, model_id in (
+                            ("whisper", config.encoder_model_id),
+                            ("llm", config.llm_model_id)):
+                        loaded = load_frozen_tower(
+                            tower, model_id, weights_root, config,
+                            model.dtype)
+                        if loaded is not None:
+                            model.params[tower] = loaded
+                model.params = load_trainable_safetensors(
+                    model.params, config, st)
         return model
