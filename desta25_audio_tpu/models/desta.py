@@ -276,9 +276,17 @@ class DeSTA25AudioModel:
             out_list.append(new_msgs)
         return out_list
 
-    def _generate_impl(self, messages_list, temperature, top_p, do_sample,
-                       max_new_tokens) -> GenerationOutput:
+    def _prepare_generation_inputs(self, messages_list):
+        """Host phases A+B + device perception/splice for a batch of
+        conversations.  Returns (inputs_embeds, attention_mask) — the
+        serving engine's entry point; ``None`` for text-only batches."""
+        prep = self._run_generation_phases(messages_list)
+        if prep is None:
+            return None
+        embeds, attn_mask, _aux, _audios, _trans = prep
+        return embeds, jnp.asarray(attn_mask)
 
+    def _run_generation_phases(self, messages_list):
         tk = self.tokenizer
         all_audios: List[str] = []
         all_transcriptions: List[Optional[str]] = []
@@ -293,8 +301,7 @@ class DeSTA25AudioModel:
                     all_transcriptions.append(audio.get("text"))
 
         if not all_audios:
-            return self._generate_text_only(
-                messages_list, temperature, top_p, do_sample, max_new_tokens)
+            return None  # caller takes the text-only path
 
         # --- phase A: audio decode + VAD + ASR --------------------------
         samples = []
@@ -376,11 +383,22 @@ class DeSTA25AudioModel:
 
         # --- phase C: device program ------------------------------------
         mel = self._mel(audio_batch)
-        self._gen_key, key = jax.random.split(self._gen_key)
         embeds, aux = self._prepare_jit(
             self.params, jnp.asarray(input_ids), mel,
             jnp.asarray(trans_ids), jnp.asarray(kind), jnp.asarray(aidx),
             jnp.asarray(pos))
+        return embeds, attn_mask, aux, all_audios, all_transcriptions
+
+    def _generate_impl(self, messages_list, temperature, top_p, do_sample,
+                       max_new_tokens) -> GenerationOutput:
+        tk = self.tokenizer
+        prep = self._run_generation_phases(messages_list)
+        if prep is None:
+            return self._generate_text_only(
+                messages_list, temperature, top_p, do_sample,
+                max_new_tokens)
+        embeds, attn_mask, aux, all_audios, all_transcriptions = prep
+        self._gen_key, key = jax.random.split(self._gen_key)
         inject_kwargs = {}
         if (self.config.is_orca and self.config.orca_deep_injection_enabled
                 and "orca_cross_attns" in self.params

@@ -153,10 +153,20 @@ def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
     new_cache = None
     if layer_cache is not None:
         ck, cv = layer_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                          (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                          (0, cache_index, 0, 0))
+        ci = jnp.asarray(cache_index)
+        if ci.ndim == 0:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, ci, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, ci, 0, 0))
+        else:
+            # per-row write offsets (continuous batching: every slot sits
+            # at its own decode position)
+            def upd(c_row, new_row, i):
+                return jax.lax.dynamic_update_slice(
+                    c_row, new_row.astype(c_row.dtype), (i, 0, 0))
+            ck = jax.vmap(upd)(ck, k, ci)
+            cv = jax.vmap(upd)(cv, v, ci)
         k, v = ck, cv
         new_cache = (ck, cv)
 
@@ -243,10 +253,15 @@ def llm_apply(
         if attention_mask is None:
             attention_mask = jnp.ones((B, Tmax), jnp.int32)
         key_pos = jnp.arange(Tmax)[None, None, None, :]
-        q_pos = (cache_index + jnp.arange(T))[None, None, :, None]
+        ci = jnp.asarray(cache_index)
+        if ci.ndim == 0:
+            q_pos = (ci + jnp.arange(T))[None, None, :, None]
+        else:  # [B] per-row offsets
+            q_pos = (ci[:, None] + jnp.arange(T)[None, :])[:, None, :, None]
         mask = (key_pos <= q_pos) & (attention_mask[:, None, None, :] > 0)
         if positions is None:
-            positions = cache_index + jnp.arange(T)[None, :]
+            positions = (ci + jnp.arange(T)[None, :] if ci.ndim == 0
+                         else ci[:, None] + jnp.arange(T)[None, :])
     else:
         if attention_mask is None:
             attention_mask = jnp.ones((B, T), jnp.int32)
