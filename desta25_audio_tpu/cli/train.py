@@ -77,10 +77,6 @@ def build_from_config(cfg: Dict[str, Any]):
     val_dc = data_config("validation_ds")
     train_ds = AudioTextDataset(model_cfg, train_dc, model.tokenizer)
     val_ds = (AudioTextDataset(model_cfg, val_dc, model.tokenizer)
-              if (val_dc.manifest_filepaths
-                  and val_dc.manifest_filepaths
-                  != train_dc.manifest_filepaths) else
-              AudioTextDataset(model_cfg, val_dc, model.tokenizer)
               if val_dc.manifest_filepaths else None)
     collate = CollateFn(model_cfg, train_dc, model.tokenizer)
 

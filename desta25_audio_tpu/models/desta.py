@@ -23,14 +23,14 @@ import json
 import logging
 import os
 from dataclasses import dataclass
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..audio.io import AudioSegment
-from ..audio.mel import log_mel, pad_or_trim, N_SAMPLES
+from ..audio.mel import log_mel, pad_or_trim
 from ..audio.vad import has_speech
 from ..config import DeSTA25Config
 from ..data.tokenizer import build_tokenizer

@@ -17,6 +17,10 @@ Request flow:
 
 Shapes are bucketed (context padded to multiples of ``ctx_bucket``) so the
 engine compiles a handful of programs total.
+
+Current limitations: greedy sampling only; ORCA deep injection is not
+wired into the engine's decode step (use ``model.generate`` for ORCA
+checkpoints); text-only requests must carry at least one audio.
 """
 
 from __future__ import annotations
