@@ -188,23 +188,33 @@ def whisper_encoder_apply(
     x = gelu(conv1d(params["conv2"], x, stride=2, padding=1))
     x = x + params["embed_positions"][None, :x.shape[1]].astype(x.dtype)
 
+    def body(hidden, p):
+        return _enc_layer_apply(p, hidden,
+                                cfg.encoder_attention_heads), None
+
     n_taps = len(target_layer_ids)
-    tap_ids = jnp.asarray(target_layer_ids, jnp.int32)
-    B, T, D = x.shape
-    taps0 = jnp.zeros((max(n_taps, 1), B, T, D), x.dtype)
-    layer_idx = jnp.arange(cfg.encoder_layers)
-
-    def body(carry, inp):
-        hidden, taps = carry
-        p, idx = inp
-        hidden = _enc_layer_apply(p, hidden, cfg.encoder_attention_heads)
-        if n_taps:
-            hit = (tap_ids == idx)[:, None, None, None]
-            taps = jnp.where(hit, hidden[None], taps)
-        return (hidden, taps), None
-
-    (x, taps), _ = jax.lax.scan(body, (x, taps0),
-                                (params["layers"], layer_idx))
+    if not n_taps:
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        B, T, D = x.shape
+        taps = jnp.zeros((1, B, T, D), x.dtype)
+    else:
+        # Tap ids are static, so the layer tower splits into static scan
+        # segments with a tap grab after each — no per-layer select over a
+        # [n_taps, B, T, D] carry (which costs a full buffer copy per
+        # layer; ~4 GB of HBM traffic for large-v3 at batch 8).
+        assert list(target_layer_ids) == sorted(set(target_layer_ids)), \
+            target_layer_ids
+        taps_list = []
+        start = 0
+        for t in target_layer_ids:
+            seg = jax.tree.map(lambda a: a[start:t + 1], params["layers"])
+            x, _ = jax.lax.scan(body, x, seg)
+            taps_list.append(x)
+            start = t + 1
+        if start < cfg.encoder_layers:
+            seg = jax.tree.map(lambda a: a[start:], params["layers"])
+            x, _ = jax.lax.scan(body, x, seg)
+        taps = jnp.stack(taps_list)
     final = layer_norm(params["ln_post"], x)
     return final, taps
 
