@@ -39,6 +39,30 @@ def sample_token(logits: jnp.ndarray, key, temperature: float, top_p: float,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def sample_token_dynamic(logits: jnp.ndarray, key,
+                         temperature: jnp.ndarray,
+                         top_p: jnp.ndarray,
+                         do_sample: jnp.ndarray) -> jnp.ndarray:
+    """Per-row sampling with *traced* parameters.
+
+    logits: [B, V] float32; temperature/top_p: [B] float32;
+    do_sample: [B] bool.  One compiled program serves every
+    temperature/top-p combination — the serving engine mixes requests
+    with different sampling settings in one decode batch.
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < top_p[:, None]
+    threshold = jnp.min(
+        jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    masked = jnp.where(scaled >= threshold, scaled, -jnp.inf)
+    sampled = jax.random.categorical(key, masked, axis=-1).astype(jnp.int32)
+    return jnp.where(do_sample, sampled, greedy)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",

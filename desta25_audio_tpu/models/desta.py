@@ -278,13 +278,42 @@ class DeSTA25AudioModel:
 
     def _prepare_generation_inputs(self, messages_list):
         """Host phases A+B + device perception/splice for a batch of
-        conversations.  Returns (inputs_embeds, attention_mask) — the
-        serving engine's entry point; ``None`` for text-only batches."""
+        conversations — the serving engine's entry point.
+
+        Returns (inputs_embeds, attention_mask, inject_tokens) where
+        inject_tokens are the ORCA deep-injection audio tokens (None
+        unless the model is an ORCA checkpoint with deep injection and
+        the batch carries audio).  Text-only batches take the plain
+        chat-template embedding path (modeling_desta25.py:1686-1703)."""
         prep = self._run_generation_phases(messages_list)
         if prep is None:
+            tk = self.tokenizer
+            texts = tk.apply_chat_template(messages_list, tokenize=False,
+                                           add_generation_prompt=True)
+            if isinstance(texts, str):
+                texts = [texts]
+            enc = tk(texts, padding="longest", add_special_tokens=False)
+            input_ids = jnp.asarray(np.asarray(enc["input_ids"], np.int32))
+            attn_mask = jnp.asarray(
+                np.asarray(enc["attention_mask"], np.int32))
+            embeds = jllm.embed_tokens(self.params["llm"], input_ids)
+            return embeds, attn_mask, None
+        embeds, attn_mask, aux, _audios, _trans = prep
+        return embeds, jnp.asarray(attn_mask), self._orca_inject_tokens(aux)
+
+    def _orca_inject_tokens(self, aux):
+        """Deep-injection kv tokens from perception aux, or None when the
+        config/checkpoint doesn't deep-inject (modeling_desta25.py:736-754:
+        injection needs ORCA mode + local branch + wrapped layers)."""
+        if not (self.config.is_orca
+                and self.config.orca_deep_injection_enabled
+                and "orca_cross_attns" in self.params
+                and aux is not None and aux[1] is not None):
             return None
-        embeds, attn_mask, _aux, _audios, _trans = prep
-        return embeds, jnp.asarray(attn_mask)
+        audio_feats, local_tokens = aux
+        if self.config.orca_global_cross_attn:
+            return jnp.concatenate([audio_feats, local_tokens], axis=1)
+        return local_tokens
 
     def _run_generation_phases(self, messages_list):
         tk = self.tokenizer
@@ -400,15 +429,8 @@ class DeSTA25AudioModel:
         embeds, attn_mask, aux, all_audios, all_transcriptions = prep
         self._gen_key, key = jax.random.split(self._gen_key)
         inject_kwargs = {}
-        if (self.config.is_orca and self.config.orca_deep_injection_enabled
-                and "orca_cross_attns" in self.params
-                and aux is not None and aux[1] is not None):
-            audio_feats, local_tokens = aux
-            if self.config.orca_global_cross_attn:
-                inject_tokens = jnp.concatenate(
-                    [audio_feats, local_tokens], axis=1)
-            else:
-                inject_tokens = local_tokens
+        inject_tokens = self._orca_inject_tokens(aux)
+        if inject_tokens is not None:
             inject_kwargs = dict(
                 inject_params=self.params["orca_cross_attns"],
                 inject_tokens=inject_tokens,

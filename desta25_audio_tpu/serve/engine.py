@@ -18,13 +18,22 @@ Request flow:
 Shapes are bucketed (context padded to multiples of ``ctx_bucket``) so the
 engine compiles a handful of programs total.
 
-Current limitations: greedy sampling only; ORCA deep injection is not
-wired into the engine's decode step (use ``model.generate`` for ORCA
-checkpoints); text-only requests must carry at least one audio.
+Sampling: per-request temperature / top-p / do_sample ride the decode
+batch as *traced* per-slot arrays (decode.sample_token_dynamic), so mixed
+greedy and sampled requests share one compiled program.
+
+ORCA deep injection: when the model deep-injects (orca_cross_attns in the
+param tree), each slot carries its RoPE'd audio kv tokens in a fixed
+[n_slots, Ta, D] buffer; the gated cross-attention runs after every
+decoder layer during both prefill and decode
+(cf. modeling_desta25.py:1101-1141), gated off per-slot for text-only
+requests.  ORCA requests must carry exactly one audio (the injection kv
+batch must match the request batch, as in ``generate``).
 """
 
 from __future__ import annotations
 
+import functools
 import itertools
 import logging
 from dataclasses import dataclass, field
@@ -34,6 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..generate.decode import sample_token_dynamic
 from ..models import llm as jllm
 from ..models.desta import DeSTA25AudioModel
 
@@ -46,6 +56,10 @@ class _Request:
     embeds: Any          # [1, Tc, D] device
     ctx_len: int         # valid context length (right-aligned)
     max_new_tokens: int
+    temperature: float = 0.0
+    top_p: float = 1.0
+    do_sample: bool = False
+    inject: Any = None   # [1, Ta, D] RoPE'd ORCA kv tokens, or None
     tokens: List[int] = field(default_factory=list)
     slot: Optional[int] = None
     done: bool = False
@@ -54,7 +68,7 @@ class _Request:
 class ContinuousBatchingEngine:
     def __init__(self, model: DeSTA25AudioModel, n_slots: int = 8,
                  max_ctx: int = 256, max_new_tokens: int = 128,
-                 ctx_bucket: int = 64):
+                 ctx_bucket: int = 64, seed: int = 0):
         self.model = model
         self.cfg = model.llm_cfg
         self.n_slots = n_slots
@@ -71,17 +85,62 @@ class ContinuousBatchingEngine:
         self.slot_rope = np.zeros(n_slots, np.int32)     # next rope position
         self.slot_mask = np.zeros((n_slots, self.t_max), np.int32)
         self.cur_tok = np.zeros(n_slots, np.int32)
+        self.slot_temp = np.zeros(n_slots, np.float32)
+        self.slot_top_p = np.ones(n_slots, np.float32)
+        self.slot_sample = np.zeros(n_slots, bool)
         self.queue: List[_Request] = []
         self.finished: Dict[int, List[int]] = {}
         self._ids = itertools.count()
         self._eos = set(model._terminators())
+        self._key = jax.random.PRNGKey(seed)
+
+        # ORCA deep injection: fixed-length kv buffer per slot
+        mcfg = model.config
+        self._inject_len = 0
+        if (mcfg.is_orca and mcfg.orca_deep_injection_enabled
+                and "orca_cross_attns" in model.params
+                and mcfg.orca_local_enabled):
+            t_enc = model.enc_cfg.expected_mel_frames // 2
+            k, s = mcfg.orca_local_kernel_size, mcfg.orca_local_downsample
+            t_local = (t_enc + 2 * (k // 2) - k) // s + 1
+            self._inject_len = t_local + (
+                mcfg.orca_global_num_tokens
+                if mcfg.orca_global_cross_attn else 0)
+        d_llm = self.cfg.hidden_size
+        self.inject_buf = jnp.zeros(
+            (n_slots, max(self._inject_len, 1), d_llm), model.dtype)
+        self.inject_on = np.zeros(n_slots, np.float32)
+        self._inject_params = (model.params["orca_cross_attns"]
+                               if self._inject_len else None)
+
         self._decode_jit = jax.jit(self._decode_step)
         self._prefill_jit = jax.jit(self._prefill,
                                     static_argnames=("t_bucket",))
 
     # -- jitted programs ---------------------------------------------------
 
-    def _prefill(self, params, embeds, mask, t_bucket):
+    def _inject_fn(self, inject_params, inject_kv, inject_on):
+        """extra_layer_fn over per-batch injection kv + on-flags.
+
+        inject_params is a jit ARGUMENT (stacked orca_cross_attns layers),
+        never a closure constant — closing over a big param tree would bake
+        the weights into the HLO."""
+        if self._inject_len == 0:
+            return None
+        from ..models.orca import gated_cross_attention_apply
+        heads = self.cfg.num_attention_heads
+
+        def fn(idx, h):
+            lp = jax.tree.map(lambda x: x[idx], inject_params["layers"])
+            out = gated_cross_attention_apply(lp, h, inject_kv, heads)
+            # where (not a lerp) keeps audio slots bit-exact with the
+            # one-shot generate path and text-only slots untouched
+            return jnp.where(inject_on[:, None, None] > 0, out, h)
+
+        return fn
+
+    def _prefill(self, params, inject_params, embeds, mask, inject_kv,
+                 inject_on, temp, top_p, do_sample, key, t_bucket):
         """Single-request prefill into a fresh batch-1 cache of t_max."""
         cache = jllm.init_kv_cache(self.cfg, 1, self.t_max,
                                    dtype=self.model.dtype)
@@ -92,36 +151,64 @@ class ContinuousBatchingEngine:
             params, self.cfg, inputs_embeds=embeds,
             attention_mask=full_mask, positions=positions,
             cache=cache, cache_index=0,
-            lora=params.get("lora"))
-        tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            lora=params.get("lora"),
+            extra_layer_fn=self._inject_fn(inject_params, inject_kv,
+                                           inject_on))
+        tok = sample_token_dynamic(logits[:, -1].astype(jnp.float32), key,
+                                   temp, top_p, do_sample)
         return tok[0], cache.k[:, 0], cache.v[:, 0], positions[0, -1]
 
-    def _decode_step(self, params, cache, toks, rope_pos, write_pos, mask):
+    def _decode_step(self, params, inject_params, cache, toks, rope_pos,
+                     write_pos, mask, inject_kv, inject_on, temp, top_p,
+                     do_sample, key):
         logits, cache, _ = jllm.llm_apply(
             params, self.cfg, input_ids=toks[:, None],
             attention_mask=mask, positions=rope_pos[:, None],
             cache=cache, cache_index=write_pos,
-            lora=params.get("lora"))
-        nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            lora=params.get("lora"),
+            extra_layer_fn=self._inject_fn(inject_params, inject_kv,
+                                           inject_on))
+        nxt = sample_token_dynamic(logits[:, -1].astype(jnp.float32), key,
+                                   temp, top_p, do_sample)
         return nxt, cache
+
+    @functools.cached_property
+    def _rope_jit(self):
+        from ..ops.rope import fractional_rope_apply
+        scale = self.model.config.orca_audio_position_scale
+        theta = self.cfg.rope_theta
+        return jax.jit(lambda t: fractional_rope_apply(t, scale, theta))
 
     # -- host API -----------------------------------------------------------
 
-    def submit(self, messages, max_new_tokens: Optional[int] = None) -> int:
+    def submit(self, messages, max_new_tokens: Optional[int] = None,
+               temperature: float = 0.0, top_p: float = 1.0,
+               do_sample: bool = False) -> int:
         """Prepare a request (host phases + perception) and queue it."""
-        prep = self._prepare(messages)
+        embeds, ctx_len, inject = self._prepare(messages)
         rid = next(self._ids)
         self.queue.append(_Request(
-            rid=rid, embeds=prep[0], ctx_len=prep[1],
+            rid=rid, embeds=embeds, ctx_len=ctx_len,
             max_new_tokens=min(max_new_tokens or self.max_new,
-                               self.max_new)))
+                               self.max_new),
+            temperature=temperature, top_p=top_p, do_sample=do_sample,
+            inject=inject))
         return rid
 
-    def _prepare(self, messages) -> Tuple[Any, int]:
+    def _prepare(self, messages) -> Tuple[Any, int, Any]:
         """Run the model's host pipeline for ONE conversation, returning
-        bucket-padded context embeddings."""
-        out = self.model._prepare_generation_inputs([messages])
-        embeds, attn_mask = out
+        bucket-padded context embeddings + optional RoPE'd injection kv."""
+        embeds, attn_mask, inject = self.model._prepare_generation_inputs(
+            [messages])
+        if self._inject_len and inject is not None:
+            if inject.shape[0] != 1 or inject.shape[1] != self._inject_len:
+                raise ValueError(
+                    "ORCA serving requests must carry exactly one 30 s "
+                    f"audio (injection kv {inject.shape}, expected "
+                    f"[1, {self._inject_len}, d])")
+            inject = self._rope_jit(inject)
+        else:
+            inject = None
         T = embeds.shape[1]
         ctx_len = int(np.asarray(attn_mask).sum())
         Tb = min(-(-T // self.ctx_bucket) * self.ctx_bucket, self.max_ctx)
@@ -131,7 +218,11 @@ class ContinuousBatchingEngine:
         elif T > Tb:
             embeds = embeds[:, -Tb:]
             ctx_len = min(ctx_len, Tb)
-        return embeds, ctx_len
+        return embeds, ctx_len, inject
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
 
     def step(self) -> List[int]:
         """Admit queued requests, run one decode step.  Returns request ids
@@ -144,9 +235,19 @@ class ContinuousBatchingEngine:
             Tb = req.embeds.shape[1]
             mask = np.zeros((1, Tb), np.int32)
             mask[0, Tb - req.ctx_len:] = 1
+            if req.inject is not None:
+                inject_kv, on = req.inject, 1.0
+            else:
+                inject_kv = self.inject_buf[:1] * 0
+                on = 0.0
             tok, k_slot, v_slot, last_pos = self._prefill_jit(
-                self.model.params["llm"], req.embeds, jnp.asarray(mask),
-                t_bucket=Tb)
+                self.model.params["llm"], self._inject_params,
+                req.embeds, jnp.asarray(mask),
+                inject_kv, jnp.asarray([on], jnp.float32),
+                jnp.asarray([req.temperature], jnp.float32),
+                jnp.asarray([req.top_p], jnp.float32),
+                jnp.asarray([req.do_sample]),
+                self._next_key(), t_bucket=Tb)
             self.cache = jllm.KVCache(
                 self.cache.k.at[:, s].set(k_slot),
                 self.cache.v.at[:, s].set(v_slot))
@@ -156,6 +257,14 @@ class ContinuousBatchingEngine:
             self.slot_mask[s, :Tb] = mask[0]
             self.slot_pos[s] = Tb
             self.slot_rope[s] = int(last_pos) + 1
+            self.slot_temp[s] = req.temperature
+            self.slot_top_p[s] = req.top_p
+            self.slot_sample[s] = req.do_sample
+            self.inject_on[s] = on
+            if self._inject_len:
+                self.inject_buf = self.inject_buf.at[s].set(
+                    inject_kv[0] if req.inject is not None
+                    else jnp.zeros_like(self.inject_buf[s]))
             tok = int(tok)
             req.tokens.append(tok)
             self.cur_tok[s] = tok
@@ -174,9 +283,12 @@ class ContinuousBatchingEngine:
         for s in active:
             mask[s, write_pos[s]] = 1
         nxt, self.cache = self._decode_jit(
-            self.model.params["llm"], self.cache,
+            self.model.params["llm"], self._inject_params, self.cache,
             jnp.asarray(self.cur_tok), jnp.asarray(self.slot_rope),
-            jnp.asarray(write_pos), jnp.asarray(mask))
+            jnp.asarray(write_pos), jnp.asarray(mask),
+            self.inject_buf, jnp.asarray(self.inject_on),
+            jnp.asarray(self.slot_temp), jnp.asarray(self.slot_top_p),
+            jnp.asarray(self.slot_sample), self._next_key())
         nxt = np.asarray(nxt)
 
         finished = []
@@ -203,6 +315,7 @@ class ContinuousBatchingEngine:
         self.slot_mask[slot] = 0
         self.slot_pos[slot] = 0
         self.slot_rope[slot] = 0
+        self.inject_on[slot] = 0.0
 
     def run_until_done(self, max_ticks: int = 100000) -> Dict[int, str]:
         tk = self.model.tokenizer

@@ -57,6 +57,78 @@ def test_engine_matches_one_shot_generate(model, wavs):
         assert results[rid] == expected[i], (i, results[rid], expected[i])
 
 
+def test_engine_text_only_and_mixed_batches(model, wavs):
+    """Text-only requests share the decode batch with audio requests."""
+    MAX_NEW = 6
+    text_msgs = [{"role": "user", "content": "Say hello."}]
+    expected_text = model.generate(text_msgs, max_new_tokens=MAX_NEW,
+                                   do_sample=False).text[0]
+    expected_audio = model.generate(_msgs(wavs[0], 0),
+                                    max_new_tokens=MAX_NEW,
+                                    do_sample=False).text[0]
+
+    eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                   max_new_tokens=MAX_NEW, ctx_bucket=128)
+    rid_t = eng.submit(text_msgs)
+    rid_a = eng.submit(_msgs(wavs[0], 0))
+    results = eng.run_until_done()
+    assert results[rid_t] == expected_text
+    assert results[rid_a] == expected_audio
+
+
+def test_engine_per_request_sampling(model, wavs):
+    """Sampled and greedy requests mix in one batch; greedy rows stay
+    bit-identical to the one-shot path and sampling is seed-reproducible."""
+    MAX_NEW = 8
+    expected = model.generate(_msgs(wavs[1], 1), max_new_tokens=MAX_NEW,
+                              do_sample=False).text[0]
+
+    def run(seed):
+        eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                       max_new_tokens=MAX_NEW,
+                                       ctx_bucket=128, seed=seed)
+        rid_g = eng.submit(_msgs(wavs[1], 1))  # greedy
+        rid_s = eng.submit(_msgs(wavs[2], 2), temperature=1.2, top_p=0.9,
+                           do_sample=True)
+        res = eng.run_until_done()
+        return res[rid_g], res[rid_s]
+
+    g0, s0 = run(seed=7)
+    g1, s1 = run(seed=7)
+    _, s2 = run(seed=8)
+    assert g0 == expected and g1 == expected
+    assert s0 == s1  # same seed -> same sample trajectory
+    assert isinstance(s2, str)
+
+
+def test_engine_orca_deep_injection_matches_generate(wavs):
+    """ORCA model: the engine's per-slot injection buffer reproduces the
+    one-shot generate() path exactly."""
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano",
+        encoder_model_id="test/whisper-nano",
+        connector_mode="orca_hybrid",
+        qformer_num_hidden_layers=2,
+        orca_global_num_tokens=4,
+        orca_local_downsample=4,
+        orca_local_kernel_size=5,
+        orca_audio_position_scale=2.5,
+        dtype="float32")
+    m = DeSTA25AudioModel(cfg, seed=1)
+    assert "orca_cross_attns" in m.params
+    MAX_NEW = 6
+    expected = {i: m.generate(_msgs(p, i), max_new_tokens=MAX_NEW,
+                              do_sample=False).text[0]
+                for i, p in enumerate(wavs)}
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
+                                   max_new_tokens=MAX_NEW, ctx_bucket=128)
+    assert eng._inject_len > 0
+    rids = {i: eng.submit(_msgs(p, i)) for i, p in enumerate(wavs)}
+    results = eng.run_until_done()
+    for i, rid in rids.items():
+        assert results[rid] == expected[i], (i, results[rid], expected[i])
+
+
 def test_engine_slot_reuse_and_mixed_lengths(model, wavs):
     eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
                                    max_new_tokens=8, ctx_bucket=128)
