@@ -172,7 +172,7 @@ def llm_generate(
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "max_new_tokens",
                                     "language_token", "suppress_ids",
-                                    "suppress_from"))
+                                    "suppress_from", "temperature"))
 def whisper_transcribe(
     params,
     cfg: WhisperConfig,
@@ -182,16 +182,23 @@ def whisper_transcribe(
     language_token: Optional[int] = None,
     suppress_ids: Tuple[int, ...] = (),
     suppress_from: Optional[int] = None,
-) -> jnp.ndarray:
-    """Greedy ASR decode (reference ASR-in-the-loop,
-    modeling_desta25.py:1586-1594).
+    temperature: float = 0.0,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ASR decode (reference ASR-in-the-loop,
+    modeling_desta25.py:1586-1594): greedy at temperature 0, multinomial
+    sampling otherwise (the fallback-cascade retry tiers).
 
     Start sequence: <|sot|> <|lang|> <|transcribe|> <|notimestamps|>; the
     language token is detected from the first decoder step when not given
     (Whisper detect_language behavior).  ``suppress_ids`` masks Whisper's
     non-text special tokens (HF generation_config.suppress_tokens) so real
-    checkpoints don't emit them under greedy decode.  Returns token ids
-    [N, max_new_tokens] padded with eos.
+    checkpoints don't emit them under greedy decode.
+
+    Returns (ids [N, max_new_tokens] padded with eos, avg_logprob [N]) —
+    the mean log-probability of emitted tokens (EOS included, OpenAI
+    whisper DecodingResult semantics) that drives the quality gate in
+    :func:`whisper_transcribe_with_fallback`.
     """
     N = mel.shape[0]
     enc_out, _ = jw.whisper_encoder_apply(params["encoder"], mel, cfg)
@@ -236,12 +243,28 @@ def whisper_transcribe(
     logits, cache = jw.whisper_decoder_apply(
         params["decoder"], prefix, ckv, cfg, pos_offset=0, cache=cache,
         cache_index=0)
-    tok0 = jnp.argmax(suppress(logits[:, -1]), axis=-1).astype(jnp.int32)
     eos = cfg.eos_token_id
+    if temperature > 0 and key is None:
+        raise ValueError("sampled ASR decode (temperature > 0) needs a key")
 
+    def pick(lg, step):
+        """Suppressed logits [N, V] -> (token [N], logprob-of-token [N])."""
+        lg = suppress(lg).astype(jnp.float32)
+        if temperature > 0:
+            tok = jax.random.categorical(
+                jax.random.fold_in(key, step), lg / temperature, axis=-1)
+            tok = tok.astype(jnp.int32)
+        else:
+            tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        lp = jnp.take_along_axis(jax.nn.log_softmax(lg, axis=-1),
+                                 tok[:, None], axis=-1)[:, 0]
+        return tok, lp
+
+    tok0, lp0 = pick(logits[:, -1], 0)
     out0 = jnp.full((N, max_new_tokens), eos, jnp.int32).at[:, 0].set(tok0)
     state = dict(t=jnp.asarray(0, jnp.int32), cur=tok0, done=tok0 == eos,
-                 out=out0, cache=cache)
+                 out=out0, cache=cache, lp_sum=lp0,
+                 n_tok=jnp.ones((N,), jnp.float32))
 
     def cond(s):
         return (s["t"] < max_new_tokens - 1) & (~jnp.all(s["done"]))
@@ -251,10 +274,82 @@ def whisper_transcribe(
         lg, cache = jw.whisper_decoder_apply(
             params["decoder"], s["cur"][:, None], ckv, cfg,
             pos_offset=P + t, cache=s["cache"], cache_index=P + t)
-        nxt = jnp.argmax(suppress(lg[:, -1]), axis=-1).astype(jnp.int32)
+        nxt, lp = pick(lg[:, -1], t + 1)
         nxt = jnp.where(s["done"], eos, nxt)
+        live = (~s["done"]).astype(jnp.float32)
         return dict(t=t + 1, cur=nxt, done=s["done"] | (nxt == eos),
-                    out=s["out"].at[:, t + 1].set(nxt), cache=cache)
+                    out=s["out"].at[:, t + 1].set(nxt), cache=cache,
+                    lp_sum=s["lp_sum"] + lp * live,
+                    n_tok=s["n_tok"] + live)
 
     state = jax.lax.while_loop(cond, body, state)
-    return state["out"]
+    return state["out"], state["lp_sum"] / state["n_tok"]
+
+
+def compression_ratio(text: str) -> float:
+    """Bytes-to-gzip ratio; > ~2.4 flags degenerate repetition loops
+    (OpenAI whisper decoding.py quality gate)."""
+    import zlib
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def whisper_transcribe_with_fallback(
+    params,
+    cfg: WhisperConfig,
+    mel: jnp.ndarray,
+    detokenize,
+    key: Optional[jax.Array] = None,
+    *,
+    temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    logprob_threshold: float = -1.0,
+    compression_ratio_threshold: float = 2.4,
+    **kwargs,
+):
+    """Temperature-fallback ASR cascade (OpenAI whisper
+    transcribe.py semantics; beyond the reference, whose HF
+    ``whisper.generate(max_new_tokens=128)`` is a single greedy pass —
+    modeling_desta25.py:1586-1594).
+
+    Each tier decodes the FULL mel batch at one temperature (a single
+    compiled program per tier, compiled only when reached — shape-stable,
+    no per-subset recompiles); rows whose previous-tier result failed the
+    quality gate (avg logprob below ``logprob_threshold`` or gzip
+    compression ratio above ``compression_ratio_threshold``) take the new
+    tier's output.  ``detokenize(ids [N, T]) -> list[str]`` supplies the
+    text for the compression check.  Returns (texts, ids, avg_logprobs).
+    """
+    import numpy as np
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = mel.shape[0]
+    texts: list = [None] * n
+    best_ids = None
+    best_lp = np.full((n,), -np.inf, np.float32)
+    pending = np.arange(n)
+
+    for ti, temp in enumerate(temperatures):
+        ids, lp = whisper_transcribe(
+            params, cfg, mel, temperature=float(temp),
+            key=jax.random.fold_in(key, ti), **kwargs)
+        ids, lp = np.asarray(ids), np.asarray(lp, np.float32)
+        tier_texts = detokenize(ids)
+        if best_ids is None:
+            best_ids = ids.copy()
+        failed = []
+        for i in pending:
+            texts[i] = tier_texts[i]
+            best_ids[i] = ids[i]
+            best_lp[i] = lp[i]
+            bad = (lp[i] < logprob_threshold
+                   or compression_ratio(tier_texts[i])
+                   > compression_ratio_threshold)
+            if bad and ti + 1 < len(temperatures):
+                failed.append(i)
+        pending = np.asarray(failed, int)
+        if pending.size == 0:
+            break
+    return texts, best_ids, best_lp

@@ -81,6 +81,10 @@ class DeSTA25AudioModel:
         self._tokenizer = tokenizer
         self._whisper_tokenizer = None
         self._gen_key = jax.random.PRNGKey(seed + 1)
+        # Optional ASR temperature-fallback cascade: set to a (possibly
+        # empty) kwargs dict for whisper_transcribe_with_fallback; None
+        # keeps the reference's single greedy pass.
+        self.asr_fallback: Optional[Dict[str, Any]] = None
         # jitted phase-C prepare (perception + splice): eager execution
         # would dispatch every op over the device tunnel individually
         self._prepare_jit = jax.jit(self.prepare_inputs_embeds)
@@ -176,9 +180,19 @@ class DeSTA25AudioModel:
         # real checkpoints; nano test vocabs keep everything decodable
         suppress_from = (None if self.config.encoder_model_id.startswith(
             "test/") else self.enc_cfg.decoder_start_token_id)
-        ids = whisper_transcribe(self.params["whisper"], self.enc_cfg, mel,
-                                 max_new_tokens=max_new_tokens,
-                                 suppress_from=suppress_from)
+        if self.asr_fallback is not None:
+            from ..generate.decode import whisper_transcribe_with_fallback
+            texts, _, _ = whisper_transcribe_with_fallback(
+                self.params["whisper"], self.enc_cfg, mel,
+                self._asr_detokenize, max_new_tokens=max_new_tokens,
+                suppress_from=suppress_from, **self.asr_fallback)
+            return texts
+        ids, _ = whisper_transcribe(self.params["whisper"], self.enc_cfg,
+                                    mel, max_new_tokens=max_new_tokens,
+                                    suppress_from=suppress_from)
+        return self._asr_detokenize(ids)
+
+    def _asr_detokenize(self, ids) -> List[str]:
         return self.whisper_tokenizer.batch_decode(
             np.asarray(ids), skip_special_tokens=True)
 

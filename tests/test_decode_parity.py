@@ -93,3 +93,92 @@ def test_top_p_sampling_distribution():
     seen = {int(sample_token(logits, jax.random.PRNGKey(i), 2.0, 1.0, True)[0])
             for i in range(64)}
     assert len(seen) >= 3  # high temp + full nucleus explores
+
+
+# --- ASR temperature-fallback cascade ------------------------------------
+
+
+def _nano_whisper():
+    from desta25_audio_tpu.config import whisper_config_for
+    from desta25_audio_tpu.models import whisper as jw
+    cfg = whisper_config_for("test/whisper-nano")
+    params = jw.init_whisper(jax.random.PRNGKey(11), cfg,
+                             dtype=jnp.float32)
+    mel = jax.random.normal(jax.random.PRNGKey(12), (2, 300, 80),
+                            jnp.float32)
+    return params, cfg, mel
+
+
+def _char_detok(ids):
+    return ["".join(chr(int(i)) for i in row if int(i) < 128)
+            for row in np.asarray(ids)]
+
+
+def test_whisper_transcribe_avg_logprob():
+    from desta25_audio_tpu.generate.decode import whisper_transcribe
+    params, cfg, mel = _nano_whisper()
+    ids, lp = whisper_transcribe(params, cfg, mel, max_new_tokens=8)
+    lp = np.asarray(lp)
+    assert lp.shape == (2,) and np.isfinite(lp).all() and (lp <= 0).all()
+    # greedy rerun is deterministic
+    ids2, lp2 = whisper_transcribe(params, cfg, mel, max_new_tokens=8)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_compression_ratio_flags_repetition():
+    from desta25_audio_tpu.generate.decode import compression_ratio
+    assert compression_ratio("the " * 100) > 2.4
+    assert compression_ratio("A quick brown fox; zebras vex! 42#") < 2.4
+    assert compression_ratio("") == 0.0
+
+
+def test_asr_fallback_cascade():
+    from desta25_audio_tpu.generate.decode import (
+        whisper_transcribe, whisper_transcribe_with_fallback)
+    params, cfg, mel = _nano_whisper()
+
+    # permissive gate: tier 0 (greedy) is kept verbatim
+    texts, ids, lp = whisper_transcribe_with_fallback(
+        params, cfg, mel, _char_detok, max_new_tokens=8,
+        logprob_threshold=-1e9, compression_ratio_threshold=1e9)
+    g_ids, g_lp = whisper_transcribe(params, cfg, mel, max_new_tokens=8)
+    np.testing.assert_array_equal(ids, np.asarray(g_ids))
+    np.testing.assert_allclose(lp, np.asarray(g_lp), rtol=1e-6)
+    assert texts == _char_detok(g_ids)
+
+    # impossible gate (avg logprob is always < 0): every tier runs, the
+    # cascade terminates and still returns one text per row
+    key = jax.random.PRNGKey(5)
+    texts_a, ids_a, _ = whisper_transcribe_with_fallback(
+        params, cfg, mel, _char_detok, key=key, max_new_tokens=8,
+        temperatures=(0.0, 0.5, 1.0), logprob_threshold=0.0)
+    texts_b, ids_b, _ = whisper_transcribe_with_fallback(
+        params, cfg, mel, _char_detok, key=key, max_new_tokens=8,
+        temperatures=(0.0, 0.5, 1.0), logprob_threshold=0.0)
+    assert len(texts_a) == 2 and ids_a.shape == (2, 8)
+    np.testing.assert_array_equal(ids_a, ids_b)  # keyed -> reproducible
+    # sampled tiers actually changed the greedy result
+    assert not np.array_equal(ids_a, np.asarray(g_ids))
+
+
+def test_model_asr_fallback_end_to_end(tmp_path):
+    """model.generate with asr_fallback enabled still completes the
+    ASR-in-the-loop path (clip without a user transcription)."""
+    from desta25_audio_tpu import DeSTA25AudioModel, DeSTA25Config
+    from desta25_audio_tpu.audio.io import write_wav
+    t = np.arange(12000) / 16000.0
+    sig = (0.5 * np.sin(2 * np.pi * 350 * t)
+           * (np.sin(2 * np.pi * 3 * t) > 0)).astype(np.float32)
+    p = str(tmp_path / "fb.wav")
+    write_wav(p, sig)
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano", encoder_model_id="test/whisper-nano",
+        prompt_size=8, qformer_num_hidden_layers=2, dtype="float32")
+    m = DeSTA25AudioModel(cfg, seed=0)
+    m.asr_fallback = dict(temperatures=(0.0, 0.6), logprob_threshold=-1.0)
+    out = m.generate(
+        [{"role": "user", "content": "What was said? <|AUDIO|>",
+          "audios": [{"audio": p, "text": None}]}],
+        max_new_tokens=4, do_sample=False)
+    assert len(out.text) == 1 and isinstance(out.text[0], str)
+    assert out.audios[0][1] is not None  # a transcription was produced

@@ -55,8 +55,9 @@ def test_asr_suppression():
     params = jw.init_whisper(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
     mel = jax.random.normal(jax.random.PRNGKey(4), (1, 300, 80),
                             jnp.float32)
-    ids = np.asarray(whisper_transcribe(
+    ids, _lp = whisper_transcribe(
         params, cfg, mel, max_new_tokens=8,
-        suppress_from=cfg.decoder_start_token_id))
+        suppress_from=cfg.decoder_start_token_id)
+    ids = np.asarray(ids)
     ok = (ids < cfg.decoder_start_token_id) | (ids == cfg.eos_token_id)
     assert ok.all(), ids
