@@ -158,7 +158,7 @@ class AudioTextDataset:
             self.skip_reasons["no_audio_markers"] += 1
             return None
         eos = getattr(tk, "eos_token", None) or ""
-        return {
+        item = {
             "audio_context": audio_context,
             "start_positions": starts,
             "processed_audios": [{"audio": audio_path,
@@ -167,6 +167,12 @@ class AudioTextDataset:
             "target": response + eos,
             "metadata": row,
         }
+        # optional ORCA prosody fields ride through to the collate fn
+        # (simple_dataset.py:266-299)
+        for prosody_key in ("f0_energy_global", "f0_energy_local"):
+            if prosody_key in row:
+                item[prosody_key] = row[prosody_key]
+        return item
 
     def iter_valid(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
         order = np.arange(len(self.rows))
@@ -269,7 +275,10 @@ class CollateFn:
         kind, aidx, pos = build_splice_maps(len(batch), L, entries)
         ckind, caidx, cpos = build_splice_maps(len(batch), L, ctx_entries)
 
+        out_prosody = self._collate_prosody(batch)
+
         return {
+            **out_prosody,
             "input_ids": full["input_ids"],
             "attention_mask": full["attention_mask"],
             "labels": labels,
@@ -283,6 +292,32 @@ class CollateFn:
             "context_pos": cpos,
             "metadata": [it["metadata"] for it in batch],
         }
+
+    @staticmethod
+    def _collate_prosody(batch: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Optional ORCA prosody fields (simple_dataset.py:266-299):
+        f0_energy_global [B, 4] and f0_energy_local [B, T, 2], zero-filled
+        for samples that lack them.  The local length is padded to a
+        multiple of 8 (static-shape friendliness) rather than the ragged
+        max the reference uses."""
+        out: Dict[str, Any] = {}
+        if any("f0_energy_global" in it for it in batch):
+            g = np.zeros((len(batch), 4), np.float32)
+            for i, it in enumerate(batch):
+                if "f0_energy_global" in it:
+                    g[i] = np.asarray(it["f0_energy_global"], np.float32)
+            out["f0_energy_global"] = g
+        if any("f0_energy_local" in it for it in batch):
+            max_len = max(len(it.get("f0_energy_local", ()))
+                          for it in batch)
+            max_len = -(-max(max_len, 1) // 8) * 8
+            loc = np.zeros((len(batch), max_len, 2), np.float32)
+            for i, it in enumerate(batch):
+                if "f0_energy_local" in it:
+                    t = np.asarray(it["f0_energy_local"], np.float32)
+                    loc[i, :t.shape[0]] = t[:max_len]
+            out["f0_energy_local"] = loc
+        return out
 
 
 def data_loader(dataset: AudioTextDataset, collate: CollateFn,

@@ -107,6 +107,30 @@ def test_collate_shapes_and_labels(nano_cfg, corpus, tmp_path):
     assert (batch["kind"] == 1).sum() == B * nano_cfg.prompt_size
 
 
+def test_collate_prosody_fields(nano_cfg, corpus, tmp_path):
+    """Optional ORCA prosody fields (simple_dataset.py:266-299): zero-fill
+    for samples lacking them, fixed local shape [B, T(pad8), 2]."""
+    _, _, ds, collate, _ = _build(nano_cfg, corpus, tmp_path)
+    items = list(ds.iter_valid())[:3]
+    # no prosody anywhere -> no prosody keys emitted
+    plain = collate(items)
+    assert "f0_energy_global" not in plain
+    assert "f0_energy_local" not in plain
+
+    items[0]["f0_energy_global"] = [1.0, 2.0, 3.0, 4.0]
+    items[0]["f0_energy_local"] = [[0.5, 0.6]] * 10
+    batch = collate(items)
+    g = batch["f0_energy_global"]
+    assert g.shape == (3, 4)
+    np.testing.assert_array_equal(g[0], [1, 2, 3, 4])
+    np.testing.assert_array_equal(g[1], np.zeros(4))
+    loc = batch["f0_energy_local"]
+    assert loc.shape == (3, 16, 2)  # 10 padded up to a multiple of 8
+    np.testing.assert_array_equal(
+        loc[0, :10], np.full((10, 2), [.5, .6], np.float32))
+    assert (loc[1:] == 0).all() and (loc[0, 10:] == 0).all()
+
+
 def test_train_loss_decreases_and_eval(nano_cfg, corpus, tmp_path):
     model, trainer, *_ = _build(nano_cfg, corpus, tmp_path)
     trainer.train()
