@@ -25,12 +25,36 @@ import yaml
 logger = logging.getLogger("desta25_train")
 
 
-def apply_overrides(cfg: Dict[str, Any], overrides: List[str]):
+def compose_dataset_group(cfg: Dict[str, Any], name: str, config_dir: str):
+    """Hydra-style ``+dataset=NAME`` group composition
+    (train_desta.py README usage: ``+dataset=DestaAQA-5M``): load
+    ``<config_dir>/dataset/NAME.yaml`` (or NAME as a path) into
+    ``cfg["dataset"]``."""
+    candidates = [
+        name,
+        os.path.join(config_dir, "dataset", f"{name}.yaml"),
+        os.path.join(config_dir, "dataset", name),
+    ]
+    for path in candidates:
+        if os.path.isfile(path):
+            with open(path) as f:
+                cfg["dataset"] = yaml.safe_load(f)
+            return cfg
+    raise FileNotFoundError(
+        f"dataset group {name!r} not found (tried {candidates})")
+
+
+def apply_overrides(cfg: Dict[str, Any], overrides: List[str],
+                    config_dir: str = "."):
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"override {ov!r} must be key.path=value")
         key, value = ov.split("=", 1)
         key = key.lstrip("+")
+        if key == "dataset" and isinstance(value, str) \
+                and not value.startswith(("{", "[")):
+            compose_dataset_group(cfg, value, config_dir)
+            continue
         try:
             value = yaml.safe_load(value)
         except yaml.YAMLError:
@@ -54,6 +78,21 @@ def build_from_config(cfg: Dict[str, Any]):
 
     model_cfg = config_from_yaml_model_section(cfg["model"])
     model = DeSTA25AudioModel(model_cfg, seed=cfg.get("seed", 0))
+
+    # warm-start from a pretrained trainable-only checkpoint
+    # (train_desta.py:73-83, :188-189) — mutually exclusive with resume
+    init_w = (cfg.get("init_from_pretrained_weights")
+              or cfg.get("model", {}).get("init_from_pretrained_weights"))
+    if init_w and init_w != "null":
+        assert not cfg.get("resume_from_checkpoint"), (
+            "Cannot provide both resume_from_checkpoint and "
+            "init_from_pretrained_weights")
+        from ..ckpt.desta_io import load_trainable_safetensors
+        path = (os.path.join(init_w, "model.safetensors")
+                if os.path.isdir(init_w) else init_w)
+        logger.info("warm-starting trainable params from %s", path)
+        model.params = load_trainable_safetensors(model.params, model_cfg,
+                                                  path)
 
     ds_cfg = cfg.get("dataset", {})
     trainer_cfg = cfg.get("trainer", {})
@@ -143,7 +182,8 @@ def main(argv=None):
 
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
-    cfg = apply_overrides(cfg, args.overrides)
+    cfg = apply_overrides(cfg, args.overrides,
+                          config_dir=os.path.dirname(args.config) or ".")
 
     exp_dir = cfg.get("exp_dir") or "exp/default"
     os.makedirs(exp_dir, exist_ok=True)

@@ -47,3 +47,74 @@ def test_cli_debug_train(tmp_path):
     assert os.path.exists(exp / "config.yaml")
     assert os.path.exists(exp / "metrics.jsonl")
     assert os.path.exists(exp / "checkpoint-latest")
+
+
+def test_dataset_group_composition():
+    """+dataset=NAME composes configs/dataset/NAME.yaml (hydra-style)."""
+    from desta25_audio_tpu.cli.train import apply_overrides
+    cfg = {"dataset": {"batch_size": 1}}
+    out = apply_overrides(cfg, ["+dataset=debug", "trainer.max_steps=3"],
+                          config_dir="configs")
+    assert out["dataset"]["train_ds"]["batch_size"] == 4
+    assert out["dataset"]["validation_ds"]["max_seq_length"] == 512
+    assert out["trainer"]["max_steps"] == 3
+    with pytest.raises(FileNotFoundError):
+        apply_overrides({}, ["dataset=no_such_group"], config_dir="configs")
+    # all shipped groups parse and carry both splits
+    import glob
+
+    import yaml
+    groups = glob.glob("configs/dataset/*.yaml")
+    assert len(groups) == 6
+    for g in groups:
+        d = yaml.safe_load(open(g))
+        assert "train_ds" in d and "validation_ds" in d, g
+        assert d["train_ds"]["batch_size"] >= 1
+
+
+def test_warm_start_from_pretrained_weights(tmp_path):
+    """init_from_pretrained_weights loads trainable params into the fresh
+    model (train_desta.py:73-83) and is rejected alongside resume."""
+    import yaml
+
+    from desta25_audio_tpu import DeSTA25AudioModel, DeSTA25Config
+    from desta25_audio_tpu.cli.train import build_from_config
+
+    mcfg = DeSTA25Config(
+        llm_model_id="test/llama-nano", encoder_model_id="test/whisper-nano",
+        prompt_size=8, qformer_num_hidden_layers=2, dtype="float32")
+    donor = DeSTA25AudioModel(mcfg, seed=5)
+    donor.save_pretrained(str(tmp_path / "warm"))
+
+    root = tmp_path / "data"
+    os.makedirs(root)
+    t = np.arange(8000) / 16000.0
+    write_wav(str(root / "c.wav"),
+              (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32))
+    manifest = root / "m.jsonl"
+    with open(manifest, "w") as f:
+        f.write(json.dumps({"id": "c.wav", "dataset": "syn",
+                            "prompt": "S? <|AUDIO|>",
+                            "response": "tone"}) + "\n")
+
+    cfg = yaml.safe_load(open("configs/desta25_debug.yaml"))
+    cfg["exp_dir"] = str(tmp_path / "exp")
+    cfg["dataset"]["manifest_filepaths"] = [str(manifest)]
+    cfg["dataset"]["data_root"] = str(root)
+    cfg["init_from_pretrained_weights"] = str(tmp_path / "warm")
+
+    model, _ = build_from_config(cfg)
+    want = donor.params["connector"]
+    got = model.params["connector"]
+    import jax
+    leaves_w = jax.tree.leaves(want)
+    leaves_g = jax.tree.leaves(got)
+    assert any(np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_w, leaves_g))
+    # every trainable leaf must match the donor
+    for a, b in zip(leaves_w, leaves_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    cfg["resume_from_checkpoint"] = "somewhere"
+    with pytest.raises(AssertionError):
+        build_from_config(cfg)
