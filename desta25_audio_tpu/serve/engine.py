@@ -5,8 +5,10 @@ decode engine for production inference.  A shared KV cache holds
 ``n_slots`` independent request contexts; each engine tick runs ONE decode
 step for every active slot in a single jitted program with per-slot cache
 positions, so requests join and leave the batch without stalling others
-(continuous batching).  Prefills run per request into a scratch cache and
-are scattered into the slot.
+(continuous batching).  Admissions sharing a context bucket prefill
+together in ONE program (batch padded to a power of two) and are scattered
+into their slots — per-request dispatches would pay tunnel RTT + pipeline
+fill each.
 
 Request flow:
   submit(messages)  -> host phases A/B (audio decode, VAD/ASR, templating,
@@ -141,10 +143,14 @@ class ContinuousBatchingEngine:
 
     def _prefill(self, params, inject_params, embeds, mask, inject_kv,
                  inject_on, temp, top_p, do_sample, key, t_bucket):
-        """Single-request prefill into a fresh batch-1 cache of t_max."""
-        cache = jllm.init_kv_cache(self.cfg, 1, self.t_max,
+        """Batched prefill: R same-bucket requests in ONE program (each
+        per-request dispatch would otherwise pay tunnel RTT + pipeline
+        fill).  R is padded to a power of two by the caller; padded rows
+        carry all-zero masks and are discarded host-side."""
+        R = embeds.shape[0]
+        cache = jllm.init_kv_cache(self.cfg, R, self.t_max,
                                    dtype=self.model.dtype)
-        full_mask = jnp.zeros((1, self.t_max), jnp.int32
+        full_mask = jnp.zeros((R, self.t_max), jnp.int32
                               ).at[:, :t_bucket].set(mask)
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
         logits, cache, _ = jllm.llm_apply(
@@ -156,7 +162,7 @@ class ContinuousBatchingEngine:
                                            inject_on))
         tok = sample_token_dynamic(logits[:, -1].astype(jnp.float32), key,
                                    temp, top_p, do_sample)
-        return tok[0], cache.k[:, 0], cache.v[:, 0], positions[0, -1]
+        return tok, cache.k, cache.v, positions[:, -1]
 
     def _decode_step(self, params, inject_params, cache, toks, rope_pos,
                      write_pos, mask, inject_kv, inject_on, temp, top_p,
@@ -224,52 +230,87 @@ class ContinuousBatchingEngine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def step(self) -> List[int]:
-        """Admit queued requests, run one decode step.  Returns request ids
-        finished during this tick."""
-        # 1. admit into free slots (prefill)
-        for s in range(self.n_slots):
-            if self.slot_req[s] is not None or not self.queue:
-                continue
-            req = self.queue.pop(0)
-            Tb = req.embeds.shape[1]
-            mask = np.zeros((1, Tb), np.int32)
-            mask[0, Tb - req.ctx_len:] = 1
-            if req.inject is not None:
-                inject_kv, on = req.inject, 1.0
-            else:
-                inject_kv = self.inject_buf[:1] * 0
-                on = 0.0
-            tok, k_slot, v_slot, last_pos = self._prefill_jit(
-                self.model.params["llm"], self._inject_params,
-                req.embeds, jnp.asarray(mask),
-                inject_kv, jnp.asarray([on], jnp.float32),
-                jnp.asarray([req.temperature], jnp.float32),
-                jnp.asarray([req.top_p], jnp.float32),
-                jnp.asarray([req.do_sample]),
-                self._next_key(), t_bucket=Tb)
-            self.cache = jllm.KVCache(
-                self.cache.k.at[:, s].set(k_slot),
-                self.cache.v.at[:, s].set(v_slot))
+    def _admit(self, reqs: List[_Request], slots: List[int], Tb: int):
+        """Prefill R same-bucket requests in one program and place them
+        into ``slots``."""
+        R = len(reqs)
+        Rp = 1 << (R - 1).bit_length()  # pad to pow2: bounded compile set
+        dtype = reqs[0].embeds.dtype
+        D = self.cfg.hidden_size
+        embeds = jnp.concatenate(
+            [r.embeds for r in reqs]
+            + ([jnp.zeros((Rp - R, Tb, D), dtype)] if Rp != R else []),
+            axis=0)
+        mask = np.zeros((Rp, Tb), np.int32)
+        for i, r in enumerate(reqs):
+            mask[i, Tb - r.ctx_len:] = 1
+        Ta = self.inject_buf.shape[1]
+        zero_inject = jnp.zeros((1, Ta, D), dtype)
+        inject_kv = jnp.concatenate(
+            [r.inject if r.inject is not None else zero_inject
+             for r in reqs]
+            + ([jnp.zeros((Rp - R, Ta, D), dtype)] if Rp != R else []),
+            axis=0)
+        on = np.zeros(Rp, np.float32)
+        temp = np.zeros(Rp, np.float32)
+        top_p = np.ones(Rp, np.float32)
+        do_sample = np.zeros(Rp, bool)
+        for i, r in enumerate(reqs):
+            on[i] = 1.0 if r.inject is not None else 0.0
+            temp[i], top_p[i], do_sample[i] = (r.temperature, r.top_p,
+                                               r.do_sample)
+
+        tok, k_all, v_all, last_pos = self._prefill_jit(
+            self.model.params["llm"], self._inject_params,
+            embeds, jnp.asarray(mask), inject_kv,
+            jnp.asarray(on), jnp.asarray(temp), jnp.asarray(top_p),
+            jnp.asarray(do_sample), self._next_key(), t_bucket=Tb)
+        sl = jnp.asarray(slots)
+        self.cache = jllm.KVCache(
+            self.cache.k.at[:, sl].set(k_all[:, :R]),
+            self.cache.v.at[:, sl].set(v_all[:, :R]))
+        if self._inject_len:
+            self.inject_buf = self.inject_buf.at[sl].set(inject_kv[:R])
+        tok = np.asarray(tok)
+        last_pos = np.asarray(last_pos)
+        for i, (req, s) in enumerate(zip(reqs, slots)):
             req.slot = s
             self.slot_req[s] = req
             self.slot_mask[s] = 0
-            self.slot_mask[s, :Tb] = mask[0]
+            self.slot_mask[s, :Tb] = mask[i]
             self.slot_pos[s] = Tb
-            self.slot_rope[s] = int(last_pos) + 1
+            self.slot_rope[s] = int(last_pos[i]) + 1
             self.slot_temp[s] = req.temperature
             self.slot_top_p[s] = req.top_p
             self.slot_sample[s] = req.do_sample
-            self.inject_on[s] = on
-            if self._inject_len:
-                self.inject_buf = self.inject_buf.at[s].set(
-                    inject_kv[0] if req.inject is not None
-                    else jnp.zeros_like(self.inject_buf[s]))
-            tok = int(tok)
-            req.tokens.append(tok)
-            self.cur_tok[s] = tok
-            if tok in self._eos or len(req.tokens) >= req.max_new_tokens:
+            self.inject_on[s] = on[i]
+            t = int(tok[i])
+            req.tokens.append(t)
+            self.cur_tok[s] = t
+            if t in self._eos or len(req.tokens) >= req.max_new_tokens:
                 self._finish(s)
+
+    def step(self) -> List[int]:
+        """Admit queued requests, run one decode step.  Returns request ids
+        finished during this tick."""
+        # 1. admit into free slots — requests sharing the head-of-line
+        # request's ctx bucket prefill together in one program (others
+        # keep their queue order for the next group)
+        while self.queue:
+            free = [s for s in range(self.n_slots)
+                    if self.slot_req[s] is None]
+            if not free:
+                break
+            Tb = self.queue[0].embeds.shape[1]
+            take: List[_Request] = []
+            rest: List[_Request] = []
+            for r in self.queue:
+                if r.embeds.shape[1] == Tb and len(take) < len(free):
+                    take.append(r)
+                else:
+                    rest.append(r)
+            self.queue = rest
+            self._admit(take, free[:len(take)], Tb)
 
         active = [s for s in range(self.n_slots)
                   if self.slot_req[s] is not None]

@@ -129,6 +129,33 @@ def test_engine_orca_deep_injection_matches_generate(wavs):
         assert results[rid] == expected[i], (i, results[rid], expected[i])
 
 
+def test_engine_batched_prefill_mixed_buckets(model, wavs):
+    """Admissions group by ctx bucket; mixed-bucket bursts still produce
+    one-shot-identical greedy outputs."""
+    MAX_NEW = 5
+    reqs = []
+    for i, p in enumerate(wavs):
+        # vary prompt length enough to cross 32-token bucket boundaries
+        msgs = [{"role": "user",
+                 "content": ("word " * (2 + 20 * i)
+                             + f"describe {i}: <|AUDIO|>"),
+                 "audios": [{"audio": p, "text": f"tone {i}"}]}]
+        reqs.append(msgs)
+    expected = [model.generate(m, max_new_tokens=MAX_NEW,
+                               do_sample=False).text[0] for m in reqs]
+    # max_ctx large enough that no request truncates (char tokenizer:
+    # contexts are ~60-260 tokens) — truncated contexts legitimately
+    # diverge from the full-context one-shot path
+    eng = ContinuousBatchingEngine(model, n_slots=4, max_ctx=320,
+                                   max_new_tokens=MAX_NEW, ctx_bucket=32)
+    rids = [eng.submit(m) for m in reqs]
+    buckets = {int(r.embeds.shape[1]) for r in eng.queue}
+    assert len(buckets) > 1, buckets  # the burst really spans buckets
+    results = eng.run_until_done()
+    for rid, exp in zip(rids, expected):
+        assert results[rid] == exp
+
+
 def test_engine_slot_reuse_and_mixed_lengths(model, wavs):
     eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
                                    max_new_tokens=8, ctx_bucket=128)
