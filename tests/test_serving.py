@@ -168,3 +168,38 @@ def test_engine_slot_reuse_and_mixed_lengths(model, wavs):
     assert len(results) == 5
     for j, rid in enumerate(rids):
         assert rid in results
+
+
+@pytest.mark.skipif(len(__import__("jax").devices()) < 8,
+                    reason="needs 8 virtual devices")
+def test_engine_tensor_parallel_matches_single_device(model, wavs):
+    """The engine's prefill/decode programs compile and run with the LLM
+    sharded over a (2 data x 4 model) mesh, matching unsharded outputs."""
+    import jax
+
+    from desta25_audio_tpu.parallel.mesh import make_mesh, use_mesh
+    from desta25_audio_tpu.parallel.sharding import (
+        apply_sharding,
+        llm_partition_specs,
+    )
+    MAX_NEW = 4
+    ref_eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                       max_new_tokens=MAX_NEW,
+                                       ctx_bucket=128)
+    r0 = ref_eng.submit(_msgs(wavs[0], 0))
+    ref = ref_eng.run_until_done()[r0]
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    saved = model.params["llm"]
+    with use_mesh(mesh):
+        model.params["llm"] = apply_sharding(
+            saved, llm_partition_specs(saved))
+        try:
+            eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                           max_new_tokens=MAX_NEW,
+                                           ctx_bucket=128)
+            rid = eng.submit(_msgs(wavs[0], 0))
+            got = eng.run_until_done()[rid]
+        finally:
+            model.params["llm"] = saved
+    assert got == ref
