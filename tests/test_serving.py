@@ -203,3 +203,26 @@ def test_engine_tensor_parallel_matches_single_device(model, wavs):
         finally:
             model.params["llm"] = saved
     assert got == ref
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("DESTA_TEST_TPU") != "1",
+    reason="TPU-only (DESTA_TEST_TPU=1): int8 Pallas kernel in the engine")
+def test_engine_int8_on_tpu(model, wavs):
+    """Deployment config on hardware: engine decode with int8-quantized
+    LLM weights (Pallas dequant-matmul at decode-sized M)."""
+    from desta25_audio_tpu.ops.quant import is_quantized, quantize_llm_params
+    saved = model.params["llm"]
+    model.params["llm"] = quantize_llm_params(saved)
+    try:
+        assert is_quantized(model.params["llm"]["layers"]["wq"])
+        eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                       max_new_tokens=8, ctx_bucket=128)
+        r0 = eng.submit(_msgs(wavs[0], 0))
+        r1 = eng.submit([{"role": "user", "content": "Hi."}],
+                        temperature=0.9, do_sample=True)
+        res = eng.run_until_done()
+        assert set(res) == {r0, r1}
+        assert all(isinstance(v, str) for v in res.values())
+    finally:
+        model.params["llm"] = saved
