@@ -226,3 +226,18 @@ def test_engine_int8_on_tpu(model, wavs):
         assert all(isinstance(v, str) for v in res.values())
     finally:
         model.params["llm"] = saved
+
+
+def test_engine_steps_per_tick_invariant(model, wavs):
+    """The token trajectory is identical for any steps_per_tick (the scan
+    only changes host sync cadence, not decode math)."""
+    MAX_NEW = 7
+    results = []
+    for k in (1, 4, 7):
+        eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                       max_new_tokens=MAX_NEW,
+                                       ctx_bucket=128, steps_per_tick=k)
+        rids = [eng.submit(_msgs(wavs[i], i)) for i in range(3)]
+        res = eng.run_until_done()
+        results.append([res[r] for r in rids])
+    assert results[0] == results[1] == results[2], results
