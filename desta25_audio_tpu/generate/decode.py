@@ -20,6 +20,26 @@ from ..config import LLMConfig, WhisperConfig
 from ..models import llm as jllm
 from ..models import whisper as jw
 
+# OpenAI whisper non-speech token ids (music/annotation symbols) for the
+# multilingual BPE vocab — the text-range (< 50257) portion of every HF
+# whisper checkpoint's generation_config.suppress_tokens, identical across
+# tiny..large-v3 (reference inherits it via whisper.generate,
+# modeling_desta25.py:1586-1594).  The model-specific special-token tail
+# (>= 50257: sot/language/task/timestamps) is covered by ``suppress_from``.
+WHISPER_NON_SPEECH_TOKEN_IDS = (
+    1, 2, 7, 8, 9, 10, 14, 25, 26, 27, 28, 29, 31, 58, 59, 60, 61, 62, 63,
+    90, 91, 92, 93, 359, 503, 522, 542, 873, 893, 902, 918, 922, 931, 1350,
+    1853, 1982, 2460, 2627, 3246, 3253, 3268, 3536, 3846, 3961, 4183, 4667,
+    6585, 6647, 7273, 9061, 9383, 10428, 10929, 11938, 12033, 12331, 12562,
+    13793, 14157, 14635, 15265, 15618, 16553, 16604, 18362, 18956, 20075,
+    21675, 22520, 26130, 26161, 26435, 28279, 29464, 31650, 32302, 32470,
+    36865, 42863, 47425, 49870, 50254,
+)
+
+# HF whisper generation_config.begin_suppress_tokens: the first sampled
+# token may not be a bare space (220) or end-of-text.
+WHISPER_BEGIN_SUPPRESS_TOKEN_IDS = (220,)
+
 
 def sample_token(logits: jnp.ndarray, key, temperature: float, top_p: float,
                  do_sample: bool) -> jnp.ndarray:
@@ -67,7 +87,7 @@ def sample_token_dynamic(logits: jnp.ndarray, key,
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
                      "do_sample", "eos_ids", "pad_id", "inject_scale",
-                     "inject_heads"),
+                     "inject_heads", "lora_scale"),
 )
 def llm_generate(
     params,
@@ -83,6 +103,7 @@ def llm_generate(
     eos_ids: Tuple[int, ...] = (),
     pad_id: int = 0,
     lora=None,
+    lora_scale: float = 1.0,
     inject_params=None,
     inject_tokens=None,
     inject_scale: float = 2.5,
@@ -108,7 +129,9 @@ def llm_generate(
             lp = jax.tree.map(lambda x: x[idx], inject_params["layers"])
             return gated_cross_attention_apply(lp, h, roped, inject_heads)
 
-    Tmax = T + max_new_tokens
+    # Round the cache up to a 128 multiple: the fused decode kernel tiles
+    # the KV stream in 128-lane blocks (extra positions are mask-dead).
+    Tmax = -(-(T + max_new_tokens) // 128) * 128
     cache = jllm.init_kv_cache(cfg, B, Tmax, dtype=inputs_embeds.dtype)
 
     full_mask = jnp.zeros((B, Tmax), jnp.int32).at[:, :T].set(attention_mask)
@@ -116,7 +139,7 @@ def llm_generate(
     logits, cache, _ = jllm.llm_apply(
         params, cfg, inputs_embeds=inputs_embeds,
         attention_mask=full_mask, positions=positions,
-        cache=cache, cache_index=0, lora=lora,
+        cache=cache, cache_index=0, lora=lora, lora_scale=lora_scale,
         extra_layer_fn=extra_layer_fn)
     last_pos = positions[:, -1]
 
@@ -155,7 +178,7 @@ def llm_generate(
             params, cfg, input_ids=s["cur"][:, None],
             attention_mask=mask, positions=s["pos"][:, None],
             cache=s["cache"], cache_index=write_idx, lora=lora,
-            extra_layer_fn=extra_layer_fn)
+            lora_scale=lora_scale, extra_layer_fn=extra_layer_fn)
         key, sub = jax.random.split(s["key"])
         nxt = sample_token(logits[:, -1], sub, temperature, top_p, do_sample)
         nxt = jnp.where(s["done"], pad_id, nxt)
@@ -172,7 +195,8 @@ def llm_generate(
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "max_new_tokens",
                                     "language_token", "suppress_ids",
-                                    "suppress_from", "temperature"))
+                                    "suppress_from", "begin_suppress_ids",
+                                    "temperature"))
 def whisper_transcribe(
     params,
     cfg: WhisperConfig,
@@ -182,6 +206,7 @@ def whisper_transcribe(
     language_token: Optional[int] = None,
     suppress_ids: Tuple[int, ...] = (),
     suppress_from: Optional[int] = None,
+    begin_suppress_ids: Tuple[int, ...] = (),
     temperature: float = 0.0,
     key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -205,6 +230,11 @@ def whisper_transcribe(
     ckv = jw.whisper_cross_kv(params["decoder"], enc_out, cfg)
 
     sot = cfg.decoder_start_token_id
+    # drop ids beyond the vocab (nano test vocabs) — an out-of-range
+    # scatter would clamp onto the last real token
+    suppress_ids = tuple(i for i in suppress_ids if i < cfg.vocab_size)
+    begin_suppress_ids = tuple(i for i in begin_suppress_ids
+                               if i < cfg.vocab_size)
 
     def suppress(lg):
         # ``suppress_from`` blanks the whole special-token block
@@ -247,9 +277,14 @@ def whisper_transcribe(
     if temperature > 0 and key is None:
         raise ValueError("sampled ASR decode (temperature > 0) needs a key")
 
-    def pick(lg, step):
+    def pick(lg, step, begin=False):
         """Suppressed logits [N, V] -> (token [N], logprob-of-token [N])."""
         lg = suppress(lg).astype(jnp.float32)
+        if begin and begin_suppress_ids:
+            # HF begin_suppress_tokens: first sampled token may not be a
+            # bare space / end-of-text
+            ids_ = begin_suppress_ids + (cfg.eos_token_id,)
+            lg = lg.at[..., jnp.asarray(ids_, jnp.int32)].set(-jnp.inf)
         if temperature > 0:
             tok = jax.random.categorical(
                 jax.random.fold_in(key, step), lg / temperature, axis=-1)
@@ -260,7 +295,7 @@ def whisper_transcribe(
                                  tok[:, None], axis=-1)[:, 0]
         return tok, lp
 
-    tok0, lp0 = pick(logits[:, -1], 0)
+    tok0, lp0 = pick(logits[:, -1], 0, begin=True)
     out0 = jnp.full((N, max_new_tokens), eos, jnp.int32).at[:, 0].set(tok0)
     state = dict(t=jnp.asarray(0, jnp.int32), cur=tok0, done=tok0 == eos,
                  out=out0, cache=cache, lp_sum=lp0,

@@ -111,6 +111,22 @@ def init_lora(key, cfg: LLMConfig, rank: int, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _head_logits(params: Params, cfg: LLMConfig,
+                 hidden: jnp.ndarray) -> jnp.ndarray:
+    """Final-hidden -> vocab logits (tied / untied / quantized heads)."""
+    head = params.get("lm_head")
+    from ..ops.quant import is_quantized, quant_matmul
+    if head is None:
+        return jnp.einsum("btd,vd->btv", hidden, params["embed"],
+                          preferred_element_type=jnp.float32)
+    if is_quantized(head):
+        # quantized heads may be out-padded for kernel blocking
+        return quant_matmul(hidden, head,
+                            out_dtype=jnp.float32)[..., :cfg.vocab_size]
+    return jnp.einsum("btd,dv->btv", hidden, head,
+                      preferred_element_type=jnp.float32)
+
+
 def _proj(x, w):
     from ..ops.quant import is_quantized, quant_matmul
     if is_quantized(w):
@@ -118,7 +134,15 @@ def _proj(x, w):
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _lora_delta(x, lp, scale: float):
+def _lora_delta(x, lp, scale: float, dropout: float = 0.0, key=None):
+    """peft LoRA delta: scale * dropout(x) @ A @ B with scale = alpha/r
+    (reference modeling_desta25.py:720-729).  Dropout (train-time only,
+    when a key is provided) is applied to the adapter INPUT, matching
+    ``peft.tuners.lora`` semantics."""
+    if key is not None and dropout > 0.0:
+        keep = jax.random.bernoulli(key, 1.0 - dropout, x.shape)
+        x = jnp.where(keep, x, jnp.zeros_like(x)) / jnp.asarray(
+            1.0 - dropout, x.dtype)
     a = jnp.dot(x, lp["a"].astype(x.dtype),
                 preferred_element_type=jnp.float32)
     return scale * jnp.dot(a, lp["b"].astype(a.dtype),
@@ -127,7 +151,8 @@ def _lora_delta(x, lp, scale: float):
 
 def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
                layer_cache=None, cache_index=None, lora=None,
-               lora_scale: float = 1.0, flash_attention_mask=None):
+               lora_scale: float = 1.0, lora_dropout: float = 0.0,
+               lora_key=None, flash_attention_mask=None):
     B, T, D = x.shape
     H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
@@ -135,12 +160,19 @@ def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
     k = _proj(x, p["wk"])
     v = _proj(x, p["wv"])
     if lora is not None:
+        # independent dropout masks per adapter (peft has one nn.Dropout
+        # instance per wrapped Linear)
+        keys = (jax.random.split(lora_key, 3) if lora_key is not None
+                else (None, None, None))
         q = (q.astype(jnp.float32)
-             + _lora_delta(x, lora["q"], lora_scale)).astype(q.dtype)
+             + _lora_delta(x, lora["q"], lora_scale, lora_dropout,
+                           keys[0])).astype(q.dtype)
         k = (k.astype(jnp.float32)
-             + _lora_delta(x, lora["k"], lora_scale)).astype(k.dtype)
+             + _lora_delta(x, lora["k"], lora_scale, lora_dropout,
+                           keys[1])).astype(k.dtype)
         v = (v.astype(jnp.float32)
-             + _lora_delta(x, lora["v"], lora_scale)).astype(v.dtype)
+             + _lora_delta(x, lora["v"], lora_scale, lora_dropout,
+                           keys[2])).astype(v.dtype)
     q = q.reshape(B, T, H, Dh)
     k = k.reshape(B, T, Hkv, Dh)
     v = v.reshape(B, T, Hkv, Dh)
@@ -216,6 +248,8 @@ def llm_apply(
     cache_index=None,
     lora: Optional[Params] = None,
     lora_scale: float = 1.0,
+    lora_dropout: float = 0.0,
+    lora_rng: Optional[jax.Array] = None,
     extra_layer_fn=None,
     extra_aux_init=None,
     return_hidden: bool = False,
@@ -229,6 +263,9 @@ def llm_apply(
     positions: [B, T] explicit RoPE positions; default cumsum(mask)-1.
     cache / cache_index: KV-cached decode — writes the new k/v at
     ``cache_index`` and attends over the full cache.
+    lora_scale: peft alpha/r multiplier on the LoRA delta; lora_dropout +
+    lora_rng enable train-time dropout on the adapter input (reference
+    LoRA config r=16, alpha=16, dropout 0.1 — modeling_desta25.py:720-729).
     extra_layer_fn: optional ``fn(layer_idx, hidden) -> hidden`` — or, when
     ``extra_aux_init`` is given, ``fn(layer_idx, hidden, aux) ->
     (hidden, aux)`` with ``aux`` threaded through the layer scan — applied
@@ -272,6 +309,22 @@ def llm_apply(
             positions = jnp.maximum(
                 jnp.cumsum(attention_mask, axis=1) - 1, 0)
 
+    # Fused single-kernel decode: T==1 cached steps with quantized weights
+    # and no LoRA / deep injection route through ops/fused_decode (one
+    # pallas_call spanning every layer instead of 7 launches x L).
+    if (cache is not None and T == 1 and lora is None
+            and extra_layer_fn is None and not return_hidden):
+        from ..ops.fused_decode import fused_decode_layers, fused_supported
+        if fused_supported(params, cfg, cache):
+            hidden_pre, new_cache = fused_decode_layers(
+                params, cfg, x, attention_mask, positions, cache,
+                cache_index)
+            hidden = rms_norm(params["norm"], hidden_pre, cfg.rms_norm_eps)
+            logits = _head_logits(params, cfg, hidden)
+            if extra_aux_init is not None:
+                return logits, new_cache, None, extra_aux_init
+            return logits, new_cache, None
+
     cos, sin = llm_rope_cos_sin(cfg, positions)
 
     n_layers = cfg.num_hidden_layers
@@ -288,9 +341,11 @@ def llm_apply(
         else:
             p, idx, lp = inp
             layer_cache = None
+        lkey = (jax.random.fold_in(lora_rng, idx)
+                if (lora_rng is not None and lora_dropout > 0.0) else None)
         attn_out, new_lc = _attention(
             p, rms_norm(p["ln1"], h, cfg.rms_norm_eps), cos, sin, mask, cfg,
-            layer_cache, cache_index, lp, lora_scale,
+            layer_cache, cache_index, lp, lora_scale, lora_dropout, lkey,
             flash_attention_mask=(None if cache is not None else flash_mask))
         h = h + attn_out
         h = h + _mlp(p, rms_norm(p["ln2"], h, cfg.rms_norm_eps))
@@ -338,18 +393,7 @@ def llm_apply(
         x, extra_aux = out, None
 
     hidden = rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    head = params.get("lm_head")
-    from ..ops.quant import is_quantized, quant_matmul
-    if head is None:
-        logits = jnp.einsum("btd,vd->btv", hidden, params["embed"],
-                            preferred_element_type=jnp.float32)
-    elif is_quantized(head):
-        # quantized heads may be out-padded for kernel blocking
-        logits = quant_matmul(hidden, head,
-                              out_dtype=jnp.float32)[..., :cfg.vocab_size]
-    else:
-        logits = jnp.einsum("btd,dv->btv", hidden, head,
-                            preferred_element_type=jnp.float32)
+    logits = _head_logits(params, cfg, hidden)
     if extra_aux_init is not None:
         return logits, new_cache, (hidden if return_hidden else None), \
             extra_aux

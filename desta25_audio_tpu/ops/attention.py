@@ -26,6 +26,9 @@ _PAD = 256
 
 
 def _flash_available() -> bool:
+    import os
+    if os.environ.get("DESTA_FLASH", "1") in ("0", "false"):
+        return False
     return jax.default_backend() == "tpu"
 
 
@@ -40,9 +43,10 @@ def _flash():
 
 
 def _block_sizes(T: int):
+    import os
     _, BlockSizes, _ = _flash()
-    bq = min(768, T)
-    bkv = min(1536, T)
+    bq = min(int(os.environ.get("DESTA_FLASH_BQ", 768)), T)
+    bkv = min(int(os.environ.get("DESTA_FLASH_BKV", 1536)), T)
     return BlockSizes(
         block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bkv, block_q_dkv=bq,

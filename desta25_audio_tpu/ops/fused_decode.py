@@ -1,0 +1,599 @@
+"""Single-kernel fused decode step: all L decoder layers in ONE pallas_call.
+
+Round-1 profiling showed 8B int8 decode at ~54% of its HBM roofline: the
+per-projection Pallas launches (7 per layer x 32 layers = 224 per step)
+each pay pipeline-fill + launch overhead that dominates at decode-sized M.
+This kernel replaces them with ONE launch per decode step:
+
+- ``grid=(L,)`` runs the layers as sequential grid steps on one core; the
+  residual stream lives in a VMEM scratch that persists across grid steps.
+- int8 weights stay in HBM (``pl.ANY``); the kernel streams [bk, bn] tiles
+  through a double-buffered manual-DMA ring.  The DMA chain is continuous
+  ACROSS projection stages and ACROSS layers (the last tile of w_down
+  kicks off the next layer's wq tile), so the weight stream never re-pays
+  pipeline fill — the whole step is a single ~7 GB HBM read.
+- Attention runs in-kernel: the KV cache streams through a second DMA
+  ring.  GQA scores use a block-diagonal q packing ([H, Hkv*Dh] with
+  zeros off the group block) so one [H, Hkv*Dh] x [S_blk, Hkv*Dh]^T MXU
+  dot per (row, tile) computes every head against its own kv head.  The
+  current token's k/v never touch the cache inside the kernel: its score
+  joins the softmax separately, and the (k, v) pair is emitted per layer
+  for an XLA scatter afterwards (cheaper than in-kernel dynamic writes).
+
+Numerics mirror the XLA scan path (models/llm.py): bf16 residual stream,
+f32 matmul accumulation and softmax, bf16 P@V.  Replaces the decode loop
+of the reference's HF ``generate`` (modeling_desta25.py:1419-1427).
+
+Dispatch: ``models.llm.llm_apply`` routes T==1 cached steps here when the
+LLM weights are int8-quantized, there is no LoRA / ORCA injection / mesh,
+and the shapes tile cleanly (see :func:`fused_supported`).  Set
+``DESTA_FUSED_DECODE=0`` to force the XLA path;
+``DESTA_FUSED_INTERPRET=1`` runs the kernel through the TPU interpreter
+(CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rope import llm_rope_cos_sin
+
+_W_TILE_BUDGET = 8 * 1024 * 1024   # int8 bytes per streamed weight tile
+_W_RING = 3                        # weight-tile ring depth (prefetch R-1)
+_BN_CAP = 2048                     # lane cap per weight tile
+_KV_TILE_BUDGET = 2 * 1024 * 1024  # bf16 bytes per streamed KV tile
+_SCORES_BUDGET = 6 * 1024 * 1024   # f32 scores scratch cap ([B, H, S])
+
+
+class _Meta(NamedTuple):
+    L: int
+    D: int
+    H: int
+    Hkv: int
+    Dh: int
+    I: int
+    qk_norm: bool
+    eps: float
+    B: int
+    Mp: int
+    S: int
+    s_blk: int
+    tiles: Tuple[Tuple[int, int], ...]
+
+
+# ---------------------------------------------------------------------------
+# Static shape policy
+# ---------------------------------------------------------------------------
+
+
+def _stage_dims(D, H, Hkv, Dh, I):
+    """(K, N) of the seven projections in stream order: q k v o up gate
+    down."""
+    HDh, KVD = H * Dh, Hkv * Dh
+    return [(D, HDh), (D, KVD), (D, KVD), (HDh, D),
+            (D, I), (D, I), (I, D)]
+
+
+def _pick_tile(K, N):
+    """Largest (bk, bn) tile under the budget — fewer, fatter DMAs win at
+    decode-sized M (pipeline-fill bound, CLAUDE.md round-1 analysis)."""
+    best = None
+    for bn in range(128, min(N, _BN_CAP) + 1, 128):
+        if N % bn:
+            continue
+        bks = [b for b in range(256, K + 1, 256)
+               if K % b == 0 and b * bn <= _W_TILE_BUDGET]
+        if bks and (best is None or bks[-1] * bn >= best[0] * best[1]):
+            best = (bks[-1], bn)
+    return best
+
+
+def _stage_tiles(D, H, Hkv, Dh, I):
+    tiles = []
+    for K, N in _stage_dims(D, H, Hkv, Dh, I):
+        t = _pick_tile(K, N)
+        if t is None:
+            return None
+        tiles.append(t)
+    return tuple(tiles)
+
+
+def _pick_sblk(S, KVD):
+    best = None
+    for b in range(128, S + 1, 128):
+        if S % b == 0 and b * KVD * 2 <= _KV_TILE_BUDGET:
+            best = b
+    return best
+
+
+def _interpret_mode() -> bool:
+    return os.environ.get("DESTA_FUSED_INTERPRET", "0") == "1"
+
+
+def fused_supported(params, cfg, cache) -> bool:
+    """Static dispatch predicate (trace-time; shapes + flags only)."""
+    if os.environ.get("DESTA_FUSED_DECODE", "1") in ("0", "false"):
+        return False
+    from ..parallel.mesh import current_mesh
+    if current_mesh() is not None:
+        return False
+    from .quant import is_quantized
+    layers = params.get("layers", {})
+    keys = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+    if not all(is_quantized(layers.get(k)) for k in keys):
+        return False
+    if cache.k.dtype != jnp.bfloat16:
+        return False
+    L, B, S, Hkv, Dh = cache.k.shape
+    H, D, I = (cfg.num_attention_heads, cfg.hidden_size,
+               cfg.intermediate_size)
+    if Dh != 128 or S % 128 != 0 or H % Hkv != 0:
+        return False
+    if D % 256 != 0 or I % 128 != 0:
+        return False
+    if _stage_tiles(D, H, Hkv, Dh, I) is None:
+        return False
+    if _pick_sblk(S, Hkv * Dh) is None:
+        return False
+    if B * H * S * 4 > _SCORES_BUDGET:
+        return False
+    if jax.default_backend() != "tpu" and not _interpret_mode():
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(m: _Meta):
+    HDh, KVD = m.H * m.Dh, m.Hkv * m.Dh
+    G = m.H // m.Hkv
+    nst = m.S // m.s_blk
+    kv_total = m.B * nst
+    att_scale = m.Dh ** -0.5
+    dims = _stage_dims(m.D, m.H, m.Hkv, m.Dh, m.I)
+    offs, totals = [], []
+    off = 0
+    for (K, N), (bk, bn) in zip(dims, m.tiles):
+        offs.append(off)
+        totals.append((K // bk) * (N // bn))
+        off += totals[-1]
+    T_w = off  # weight tiles per layer
+
+    def kernel(*refs):
+        i = 0
+        x, ln1, ln2 = refs[i:i + 3]
+        i += 3
+        if m.qk_norm:
+            qn, kn = refs[i:i + 2]
+            i += 2
+        cos, sin, bias = refs[i:i + 3]
+        i += 3
+        s_refs = refs[i:i + 7]
+        i += 7
+        w_refs = refs[i:i + 7]
+        i += 7
+        kc, vc = refs[i:i + 2]
+        i += 2
+        h_out, knew, vnew = refs[i:i + 3]
+        i += 3
+        (h, xn, qs, ks, vs, qpad, scores, ofull, attn, mid, acc,
+         wbuf, kvbuf, wsem, kvsem) = refs[i:]
+
+        l = pl.program_id(0)
+        R = _W_RING
+
+        def wdma(si, l_idx, ti, slot):
+            K, N = dims[si]
+            bk, bn = m.tiles[si]
+            nk = K // bk
+            kk = ti % nk
+            n = ti // nk
+            return pltpu.make_async_copy(
+                w_refs[si].at[l_idx, pl.ds(kk * bk, bk), pl.ds(n * bn, bn)],
+                wbuf.at[slot, pl.ds(0, bk), pl.ds(0, bn)],
+                wsem.at[slot])
+
+        def wslot(l_idx, g):
+            """Ring slot of layer-local weight tile g (absolute over the
+            whole step so the ring stays consistent across layers)."""
+            return jax.lax.rem(l_idx * T_w + g, R)
+
+        def start_local(l_idx, g, lo, hi):
+            """Start layer-local tile index g (traced, g in [lo, hi]
+            statically) — static pruning picks the candidate stages."""
+            for sj in range(7):
+                s0, s1 = offs[sj], offs[sj] + totals[sj]
+                if s1 <= lo or s0 > hi:
+                    continue
+
+                @pl.when(jnp.logical_and(g >= s0, g < s1))
+                def _(sj=sj, s0=s0):
+                    wdma(sj, l_idx, g - s0, wslot(l_idx, g)).start()
+
+        def kv_dma(cref, l_idx, ti, slot):
+            return pltpu.make_async_copy(
+                cref.at[l_idx, ti // nst,
+                        pl.ds((ti % nst) * m.s_blk, m.s_blk), :],
+                kvbuf.at[slot], kvsem.at[slot])
+
+        # Bootstrap: warm the weight ring once (the per-tile prefetch then
+        # self-chains across stages and layers); KV K-tile 0 per layer
+        # (overlaps the q/k/v weight stream).
+        @pl.when(l == 0)
+        def _():
+            for g in range(min(R - 1, T_w)):
+                start_local(0, g, g, g)
+            h[:] = x[:]
+            qpad[:] = jnp.zeros_like(qpad)
+            if m.Mp > m.B:
+                attn[m.B:, :] = jnp.zeros((m.Mp - m.B, HDh), attn.dtype)
+
+        kv_dma(kc, l, 0, 0).start()
+
+        def rmsn(ref_val, w_ref):
+            xf = ref_val.astype(jnp.float32)
+            var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            return (xf * jax.lax.rsqrt(var + m.eps)
+                    * w_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+
+        xn[:] = rmsn(h[:], ln1)
+
+        # ---- streamed int8 matmul stages --------------------------------
+        def run_stage(si, x_ref, flush):
+            K, N = dims[si]
+            bk, bn = m.tiles[si]
+            nk = K // bk
+            total = totals[si]
+            off_s = offs[si]
+
+            def body(ti, _):
+                # prefetch R-1 tiles ahead; the target may live in a later
+                # stage of this layer or spill into the next layer — the
+                # ring keeps the HBM weight stream saturated through the
+                # attention phase and across layer boundaries.
+                nxt = off_s + ti + (R - 1)
+                lo, hi = off_s + R - 1, off_s + total - 1 + R - 1
+                if lo < T_w:
+                    start_local(l, nxt, lo, min(hi, T_w - 1))
+                if hi >= T_w:
+                    spill = nxt - T_w
+
+                    @pl.when(jnp.logical_and(spill >= 0, l + 1 < m.L))
+                    def _():
+                        start_local(l + 1, spill, max(lo - T_w, 0),
+                                    hi - T_w)
+
+                wdma(si, l, ti, wslot(l, off_s + ti)).wait()
+                slot = wslot(l, off_s + ti)
+                kk = jax.lax.rem(ti, nk)
+                n = ti // nk
+                wt = wbuf[slot, :bk, :bn].astype(jnp.bfloat16)
+                xt = x_ref[:, pl.ds(kk * bk, bk)]
+                p = jnp.dot(xt, wt, preferred_element_type=jnp.float32)
+                sv = s_refs[si][0, :, pl.ds(n * bn, bn)].astype(jnp.float32)
+                if nk == 1:
+                    flush(n, p * sv)
+                else:
+                    @pl.when(kk == 0)
+                    def _():
+                        acc[:, :bn] = p
+
+                    @pl.when(jnp.logical_and(kk > 0, kk < nk - 1))
+                    def _():
+                        acc[:, :bn] += p
+
+                    @pl.when(kk == nk - 1)
+                    def _():
+                        flush(n, (acc[:, :bn] + p) * sv)
+                return 0
+
+            jax.lax.fori_loop(0, total, body, 0)
+
+        def store_to(out_ref, bn):
+            def f(n, val):
+                out_ref[:, pl.ds(n * bn, bn)] = val.astype(out_ref.dtype)
+            return f
+
+        def resid(bn):
+            def f(n, val):
+                sl = pl.ds(n * bn, bn)
+                h[:, sl] += val.astype(jnp.bfloat16)
+            return f
+
+        def swiglu(bn):
+            def f(n, val):
+                sl = pl.ds(n * bn, bn)
+                g32 = val.astype(jnp.bfloat16).astype(jnp.float32)
+                mid[:, sl] = (jax.nn.silu(g32).astype(jnp.bfloat16)
+                              * mid[:, sl])
+            return f
+
+        run_stage(0, xn, store_to(qs, m.tiles[0][1]))
+        run_stage(1, xn, store_to(ks, m.tiles[1][1]))
+        run_stage(2, xn, store_to(vs, m.tiles[2][1]))
+
+        # ---- rope + qk-norm; emit (k, v); build block-diagonal q --------
+        q = qs[:m.B].astype(jnp.float32).reshape(m.B, m.H, m.Dh)
+        k = ks[:m.B].astype(jnp.float32).reshape(m.B, m.Hkv, m.Dh)
+        if m.qk_norm:
+            qw = qn[0].astype(jnp.float32).reshape(1, 1, m.Dh)
+            kw = kn[0].astype(jnp.float32).reshape(1, 1, m.Dh)
+            q = q * jax.lax.rsqrt(
+                jnp.mean(jnp.square(q), -1, keepdims=True) + m.eps) * qw
+            k = k * jax.lax.rsqrt(
+                jnp.mean(jnp.square(k), -1, keepdims=True) + m.eps) * kw
+        # NB: newaxis indexing (x[:, None]) lowers to a gather Mosaic
+        # rejects — use reshape/keepdims for every broadcast in-kernel.
+        cosv = cos[:].astype(jnp.float32).reshape(m.B, 1, m.Dh)
+        sinv = sin[:].astype(jnp.float32).reshape(m.B, 1, m.Dh)
+
+        def rot(t):
+            t1, t2 = t[..., :m.Dh // 2], t[..., m.Dh // 2:]
+            return jnp.concatenate([-t2, t1], axis=-1)
+
+        q = q * cosv + rot(q) * sinv
+        k = k * cosv + rot(k) * sinv
+        kb = k.astype(jnp.bfloat16).reshape(m.B, KVD)
+        ks[:m.B] = kb  # post-rope k, for the self score
+        # Emit the new (k, v) rows per layer; the XLA side lands them in
+        # the cache (single-row DMA writes at arbitrary positions are not
+        # expressible in Mosaic's tiled memrefs — VMEM and HBM both tile
+        # (8, 128), so a [1, KVD] slice is sub-tile).
+        knew[0] = kb
+        vnew[0] = vs[:m.B]
+
+        qb = q.astype(jnp.bfloat16)
+        for kv in range(m.Hkv):
+            qpad[:, kv * G:(kv + 1) * G, kv * m.Dh:(kv + 1) * m.Dh] = (
+                qb[:, kv * G:(kv + 1) * G])
+
+        # ---- scores: stream K cache -------------------------------------
+        def kbody(ti, _):
+            slot = jax.lax.rem(ti, 2)
+
+            @pl.when(ti + 1 < kv_total)
+            def _():
+                kv_dma(kc, l, ti + 1, jax.lax.rem(ti + 1, 2)).start()
+
+            @pl.when(ti + 1 == kv_total)
+            def _():
+                kv_dma(vc, l, 0, jax.lax.rem(ti + 1, 2)).start()
+
+            kv_dma(kc, l, ti, slot).wait()
+            b = ti // nst
+            s = jax.lax.rem(ti, nst)
+            qpb = qpad[b]
+            sc = jax.lax.dot_general(
+                qpb, kvbuf[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            scores[b, :, pl.ds(s * m.s_blk, m.s_blk)] = sc * att_scale
+            return 0
+
+        jax.lax.fori_loop(0, kv_total, kbody, 0)
+
+        # ---- softmax over cache + current token -------------------------
+        sfull = scores[:] + bias[:].reshape(m.B, 1, m.S)
+        kself = ks[:m.B].astype(jnp.float32).reshape(m.B, 1, KVD)
+        qp32 = qpad[:].astype(jnp.float32)                # [B, H, KVD]
+        # block-diagonal packing makes the flat dot equal q_h . k_{kv(h)}
+        sself = (jnp.sum(qp32 * kself, axis=-1, keepdims=True)
+                 * att_scale)                             # [B, H, 1]
+        mx = jnp.maximum(jnp.max(sfull, axis=-1, keepdims=True), sself)
+        e = jnp.exp(sfull - mx)
+        eself = jnp.exp(sself - mx)
+        inv = 1.0 / (jnp.sum(e, axis=-1, keepdims=True) + eself)
+        scores[:] = e * inv
+        pself = (eself * inv).reshape(m.B, m.H)
+
+        # ---- output: stream V cache --------------------------------------
+        def vbody(ti, _):
+            slot = jax.lax.rem(kv_total + ti, 2)
+
+            @pl.when(ti + 1 < kv_total)
+            def _():
+                kv_dma(vc, l, ti + 1,
+                       jax.lax.rem(kv_total + ti + 1, 2)).start()
+
+            kv_dma(vc, l, ti, slot).wait()
+            b = ti // nst
+            s = jax.lax.rem(ti, nst)
+            pt = scores[b, :, pl.ds(s * m.s_blk, m.s_blk)
+                        ].astype(jnp.bfloat16)
+            ov = jnp.dot(pt, kvbuf[slot],
+                         preferred_element_type=jnp.float32)  # [H, KVD]
+
+            @pl.when(s == 0)
+            def _():
+                ofull[b] = ov
+
+            @pl.when(s > 0)
+            def _():
+                ofull[b] += ov
+            return 0
+
+        jax.lax.fori_loop(0, kv_total, vbody, 0)
+
+        # block-diagonal extract: head h takes its kv(h) slice of the
+        # packed [H, Hkv*Dh] output, plus the current token's contribution
+        of = ofull[:]                                   # [B, H, KVD] f32
+        v3 = vs[:m.B].astype(jnp.float32)               # [B, KVD]
+        for kv in range(m.Hkv):
+            hs = slice(kv * G, (kv + 1) * G)
+            ds_ = slice(kv * m.Dh, (kv + 1) * m.Dh)
+            slab = (of[:, hs, ds_]
+                    + pself[:, hs].reshape(m.B, G, 1)
+                    * v3[:, ds_].reshape(m.B, 1, m.Dh))  # [B, G, Dh]
+            attn[:m.B, kv * G * m.Dh:(kv + 1) * G * m.Dh] = (
+                slab.reshape(m.B, G * m.Dh).astype(jnp.bfloat16))
+
+        # ---- wo + residual, MLP ------------------------------------------
+        run_stage(3, attn, resid(m.tiles[3][1]))
+        xn[:] = rmsn(h[:], ln2)
+        run_stage(4, xn, store_to(mid, m.tiles[4][1]))   # up
+        run_stage(5, xn, swiglu(m.tiles[5][1]))          # gate
+        run_stage(6, mid, resid(m.tiles[6][1]))          # down
+
+        @pl.when(l == m.L - 1)
+        def _():
+            h_out[:] = h[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call(m: _Meta, interpret: bool):
+    HDh, KVD = m.H * m.Dh, m.Hkv * m.Dh
+    bk_max = max(t[0] for t in m.tiles)
+    bn_max = max(t[1] for t in m.tiles)
+    vm = pltpu.VMEM
+    bf16, f32 = jnp.bfloat16, jnp.float32
+
+    in_specs = [
+        pl.BlockSpec((m.Mp, m.D), lambda l: (0, 0), memory_space=vm),   # x
+        # per-layer vectors ride as [L, 1, N] so the (1, N) trailing block
+        # matches Mosaic's block-divisibility rule
+        pl.BlockSpec((1, 1, m.D), lambda l: (l, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, 1, m.D), lambda l: (l, 0, 0), memory_space=vm),
+    ]
+    if m.qk_norm:
+        in_specs += [
+            pl.BlockSpec((1, 1, m.Dh), lambda l: (l, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, m.Dh), lambda l: (l, 0, 0),
+                         memory_space=vm),
+        ]
+    in_specs += [
+        pl.BlockSpec((m.B, m.Dh), lambda l: (0, 0), memory_space=vm),  # cos
+        pl.BlockSpec((m.B, m.Dh), lambda l: (0, 0), memory_space=vm),  # sin
+        pl.BlockSpec((m.B, m.S), lambda l: (0, 0), memory_space=vm),  # bias
+    ]
+    for _, N in _stage_dims(m.D, m.H, m.Hkv, m.Dh, m.I):
+        in_specs.append(
+            pl.BlockSpec((1, 1, N), lambda l: (l, 0, 0), memory_space=vm))
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 9  # 7 weights + k + v
+
+    out_shape = [
+        jax.ShapeDtypeStruct((m.Mp, m.D), bf16),
+        jax.ShapeDtypeStruct((m.L, m.B, KVD), bf16),
+        jax.ShapeDtypeStruct((m.L, m.B, KVD), bf16),
+    ]
+    out_specs = [
+        pl.BlockSpec((m.Mp, m.D), lambda l: (0, 0), memory_space=vm),
+        pl.BlockSpec((1, m.B, KVD), lambda l: (l, 0, 0), memory_space=vm),
+        pl.BlockSpec((1, m.B, KVD), lambda l: (l, 0, 0), memory_space=vm),
+    ]
+    scratch = [
+        pltpu.VMEM((m.Mp, m.D), bf16),            # h
+        pltpu.VMEM((m.Mp, m.D), bf16),            # xn
+        pltpu.VMEM((m.Mp, HDh), bf16),            # qs
+        pltpu.VMEM((m.Mp, KVD), bf16),            # ks
+        pltpu.VMEM((m.Mp, KVD), bf16),            # vs
+        pltpu.VMEM((m.B, m.H, KVD), bf16),        # qpad (block-diag q)
+        pltpu.VMEM((m.B, m.H, m.S), f32),         # scores
+        pltpu.VMEM((m.B, m.H, KVD), f32),         # ofull
+        pltpu.VMEM((m.Mp, HDh), bf16),            # attn
+        pltpu.VMEM((m.Mp, m.I), bf16),            # mid
+        pltpu.VMEM((m.Mp, bn_max), f32),          # acc
+        pltpu.VMEM((_W_RING, bk_max, bn_max), jnp.int8),  # wbuf ring
+        pltpu.VMEM((2, m.s_blk, KVD), bf16),      # kvbuf
+        pltpu.SemaphoreType.DMA((_W_RING,)),      # wsem
+        pltpu.SemaphoreType.DMA((2,)),            # kvsem
+    ]
+    return pl.pallas_call(
+        _make_kernel(m),
+        grid=(m.L,),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA-side wrapper
+# ---------------------------------------------------------------------------
+
+
+def fused_decode_layers(params, cfg, inputs_embeds, attention_mask,
+                        positions, cache, cache_index):
+    """One decode step through all layers.
+
+    inputs_embeds [B, 1, D]; attention_mask [B, >=S]; positions [B, 1];
+    cache: KVCache [L, B, S, Hkv, Dh]; cache_index: scalar or [B].
+    Returns (hidden [B, 1, D] bf16 pre-final-norm, new KVCache).
+    """
+    B, T, D = inputs_embeds.shape
+    assert T == 1
+    L, _, S, Hkv, Dh = cache.k.shape
+    ci_in = jnp.asarray(cache_index)
+    scalar_ci = ci_in.ndim == 0
+    ci = (jnp.broadcast_to(ci_in, (B,)) if scalar_ci
+          else ci_in).astype(jnp.int32)
+    pos = positions[:, 0]
+    cos, sin = llm_rope_cos_sin(cfg, pos)  # [B, Dh] f32
+
+    key_idx = jnp.arange(S)[None, :]
+    valid = (attention_mask[:, :S] > 0) & (key_idx < ci[:, None])
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+
+    Mp = max(16, -(-B // 16) * 16)
+    xp = inputs_embeds[:, 0].astype(jnp.bfloat16)
+    if Mp != B:
+        xp = jnp.pad(xp, ((0, Mp - B), (0, 0)))
+
+    layers = params["layers"]
+    meta = _Meta(
+        L=L, D=D, H=cfg.num_attention_heads, Hkv=Hkv, Dh=Dh,
+        I=cfg.intermediate_size, qk_norm=bool(cfg.qk_norm),
+        eps=float(cfg.rms_norm_eps), B=B, Mp=Mp, S=S,
+        s_blk=_pick_sblk(S, Hkv * Dh),
+        tiles=_stage_tiles(D, cfg.num_attention_heads, Hkv, Dh,
+                           cfg.intermediate_size))
+    call = _build_call(meta, _interpret_mode())
+
+    args = [xp, layers["ln1"]["scale"][:, None, :],
+            layers["ln2"]["scale"][:, None, :]]
+    if meta.qk_norm:
+        args += [layers["q_norm"]["scale"][:, None, :],
+                 layers["k_norm"]["scale"][:, None, :]]
+    args += [cos.astype(jnp.float32), sin.astype(jnp.float32), bias]
+    wkeys = ("wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down")
+    args += [layers[k]["s"][:, None, :] for k in wkeys]
+    args += [layers[k]["q"] for k in wkeys]
+    args += [cache.k.reshape(L, B, S, Hkv * Dh),
+             cache.v.reshape(L, B, S, Hkv * Dh)]
+
+    h_out, knew, vnew = call(*args)
+
+    knew = knew.reshape(L, B, 1, Hkv, Dh)
+    vnew = vnew.reshape(L, B, 1, Hkv, Dh)
+    if scalar_ci:
+        # single in-place dynamic_update_slice (all rows share the index)
+        newk = jax.lax.dynamic_update_slice(
+            cache.k, knew, (0, 0, ci_in, 0, 0))
+        newv = jax.lax.dynamic_update_slice(
+            cache.v, vnew, (0, 0, ci_in, 0, 0))
+    else:
+        def upd(c, n, idx):
+            return jax.lax.dynamic_update_slice(c, n, (0, idx, 0, 0))
+
+        newk = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(cache.k, knew,
+                                                            ci)
+        newv = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(cache.v, vnew,
+                                                            ci)
+    from ..models.llm import KVCache
+    return h_out[:B][:, None, :], KVCache(newk, newv)
