@@ -300,6 +300,9 @@ class DeSTA25Config:
     connector_mode: str = "qformer_1"  # "qformer_1" | "orca_hybrid"
     qformer_num_hidden_layers: int = 2
     prompt_size: int = 64
+    # LoRA knobs (reference peft config: r=16, alpha=16, dropout=0.1 on
+    # q/k/v_proj — modeling_desta25.py:720-729).  Effective delta is
+    # ``(alpha / rank) * B @ A @ dropout(x)`` (peft scaling semantics).
     use_lora: bool = False
     lora_rank: int = 16
     lora_alpha: float = 16.0
@@ -325,6 +328,11 @@ class DeSTA25Config:
 
     # Compute dtype for the frozen towers ("bfloat16" | "float32").
     dtype: str = "bfloat16"
+
+    @property
+    def lora_scale(self) -> float:
+        """peft scaling: alpha / r (modeling_desta25.py:720-729)."""
+        return self.lora_alpha / max(self.lora_rank, 1)
 
     @property
     def llm_config(self) -> LLMConfig:
@@ -404,6 +412,9 @@ def config_from_yaml_model_section(model_cfg: Dict[str, Any]) -> DeSTA25Config:
         ),
         use_lora=model_cfg.get("use_lora", False),
     )
+    for k in ("lora_rank", "lora_alpha", "lora_dropout"):
+        if k in model_cfg:
+            kwargs[k] = model_cfg[k]
     orca = model_cfg.get("orca", {})
     for k, v in orca.items():
         key = f"orca_{k}" if not k.startswith("orca_") else k

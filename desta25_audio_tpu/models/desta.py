@@ -176,20 +176,32 @@ class DeSTA25AudioModel:
     def _asr(self, audio_batch: np.ndarray, max_new_tokens: int = 128
              ) -> List[str]:
         mel = self._mel(audio_batch)
-        # suppress the special-token block (language/task/timestamps) for
-        # real checkpoints; nano test vocabs keep everything decodable
-        suppress_from = (None if self.config.encoder_model_id.startswith(
-            "test/") else self.enc_cfg.decoder_start_token_id)
+        # Real checkpoints: suppress the special-token block
+        # (language/task/timestamps via suppress_from) plus the canonical
+        # non-speech id list and begin-suppression, mirroring HF
+        # generation_config (modeling_desta25.py:1586-1594 inherits it).
+        # Nano test vocabs keep everything decodable.
+        if self.config.encoder_model_id.startswith("test/"):
+            sup = dict(suppress_from=None)
+        else:
+            from ..generate.decode import (
+                WHISPER_BEGIN_SUPPRESS_TOKEN_IDS,
+                WHISPER_NON_SPEECH_TOKEN_IDS,
+            )
+            sup = dict(
+                suppress_from=self.enc_cfg.decoder_start_token_id,
+                suppress_ids=WHISPER_NON_SPEECH_TOKEN_IDS,
+                begin_suppress_ids=WHISPER_BEGIN_SUPPRESS_TOKEN_IDS)
         if self.asr_fallback is not None:
             from ..generate.decode import whisper_transcribe_with_fallback
             texts, _, _ = whisper_transcribe_with_fallback(
                 self.params["whisper"], self.enc_cfg, mel,
                 self._asr_detokenize, max_new_tokens=max_new_tokens,
-                suppress_from=suppress_from, **self.asr_fallback)
+                **sup, **self.asr_fallback)
             return texts
         ids, _ = whisper_transcribe(self.params["whisper"], self.enc_cfg,
                                     mel, max_new_tokens=max_new_tokens,
-                                    suppress_from=suppress_from)
+                                    **sup)
         return self._asr_detokenize(ids)
 
     def _asr_detokenize(self, ids) -> List[str]:
@@ -456,7 +468,8 @@ class DeSTA25AudioModel:
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, do_sample=do_sample,
             eos_ids=self._terminators(), pad_id=tk.pad_token_id,
-            lora=self.params.get("lora"), **inject_kwargs)
+            lora=self.params.get("lora"),
+            lora_scale=self.config.lora_scale, **inject_kwargs)
         tokens = np.asarray(tokens)
         texts = tk.batch_decode(tokens, skip_special_tokens=True)
         return GenerationOutput(
@@ -495,7 +508,8 @@ class DeSTA25AudioModel:
             self.params["llm"], self.llm_cfg, embeds, attn_mask, key,
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, do_sample=do_sample, eos_ids=self._terminators(),
-            pad_id=tk.pad_token_id, lora=self.params.get("lora"))
+            pad_id=tk.pad_token_id, lora=self.params.get("lora"),
+            lora_scale=self.config.lora_scale)
         tokens = np.asarray(tokens)
         return GenerationOutput(
             text=tk.batch_decode(tokens, skip_special_tokens=True),

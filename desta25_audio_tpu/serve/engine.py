@@ -164,6 +164,7 @@ class ContinuousBatchingEngine:
             attention_mask=full_mask, positions=positions,
             cache=cache, cache_index=0,
             lora=params.get("lora"),
+            lora_scale=self.model.config.lora_scale,
             extra_layer_fn=self._inject_fn(inject_params, inject_kv,
                                            inject_on))
         tok = sample_token_dynamic(logits[:, -1].astype(jnp.float32), key,
@@ -193,7 +194,9 @@ class ContinuousBatchingEngine:
                 attention_mask=step_mask,
                 positions=(rope_pos + step)[:, None],
                 cache=cache, cache_index=write_pos + step,
-                lora=params.get("lora"), extra_layer_fn=extra)
+                lora=params.get("lora"),
+                lora_scale=self.model.config.lora_scale,
+                extra_layer_fn=extra)
             nxt = sample_token_dynamic(
                 logits[:, -1].astype(jnp.float32),
                 jax.random.fold_in(key, step), temp, top_p, do_sample)

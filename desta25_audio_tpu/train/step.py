@@ -91,6 +91,9 @@ def _forward(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
         inputs_embeds=inputs_embeds,
         attention_mask=attention_mask,
         lora=params.get("lora"),
+        lora_scale=config.lora_scale,
+        lora_dropout=(config.lora_dropout if training else 0.0),
+        lora_rng=batch.get("lora_rng") if training else None,
         extra_layer_fn=extra_layer_fn,
         extra_aux_init=extra_aux_init,
         remat=remat,

@@ -173,6 +173,9 @@ class DeSTA25Trainer:
                                    self.global_step)
                     continue
                 db = self._device_batch(batch)
+                if self.config.use_lora and self.config.lora_dropout > 0:
+                    # per-step adapter-dropout key (peft train() semantics)
+                    db["lora_rng"] = jax.random.PRNGKey(self.global_step)
                 trainable, opt_state, metrics = self.train_step(
                     trainable, frozen, opt_state, db)
                 self.global_step += 1

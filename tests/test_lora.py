@@ -1,0 +1,81 @@
+"""LoRA alpha / dropout semantics (reference peft config r=16, alpha=16,
+dropout 0.1 on q/k/v — modeling_desta25.py:720-729)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from desta25_audio_tpu.config import DeSTA25Config, llm_config_for
+from desta25_audio_tpu.models import llm as jllm
+from desta25_audio_tpu.models.llm import _lora_delta
+
+
+def test_lora_delta_scale_and_dropout(rng):
+    x = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    lp = {"a": jnp.asarray(rng.standard_normal((32, 4)).astype(np.float32)),
+          "b": jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))}
+    ref = np.asarray(x) @ np.asarray(lp["a"]) @ np.asarray(lp["b"])
+    got1 = np.asarray(_lora_delta(x, lp, scale=1.0))
+    got2 = np.asarray(_lora_delta(x, lp, scale=2.5))
+    assert np.allclose(got1, ref, atol=1e-5)
+    assert np.allclose(got2, 2.5 * ref, atol=1e-5)
+    # eval mode (no key): dropout rate is ignored
+    got3 = np.asarray(_lora_delta(x, lp, scale=1.0, dropout=0.5))
+    assert np.allclose(got3, ref, atol=1e-5)
+    # train mode: inverted-dropout scaling, mean preserved
+    key = jax.random.PRNGKey(0)
+    xs = jnp.asarray(rng.standard_normal((512, 32)).astype(np.float32))
+    d = np.asarray(_lora_delta(xs, lp, scale=1.0, dropout=0.5, key=key))
+    base = np.asarray(xs) @ np.asarray(lp["a"]) @ np.asarray(lp["b"])
+    assert not np.allclose(d, base)
+    assert abs(d.mean() - base.mean()) < 0.25 * (abs(base.mean()) + 1.0)
+
+
+def test_lora_scale_flows_through_llm_apply(rng):
+    cfg = llm_config_for("test/llama-nano")
+    params = jllm.init_llm(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    lora = jllm.init_lora(jax.random.PRNGKey(1), cfg, rank=4)
+    # B starts at zero -> make it nonzero so scale matters
+    lora = jax.tree.map(
+        lambda x: x + 0.05 if x.ndim == 3 and x.shape[-1] != 4 else x, lora)
+    ids = jnp.asarray(rng.integers(2, cfg.vocab_size - 2, size=(2, 6)),
+                      jnp.int32)
+    base, _, _ = jllm.llm_apply(params, cfg, input_ids=ids)
+    l1, _, _ = jllm.llm_apply(params, cfg, input_ids=ids, lora=lora,
+                              lora_scale=1.0)
+    l2, _, _ = jllm.llm_apply(params, cfg, input_ids=ids, lora=lora,
+                              lora_scale=3.0)
+    assert not np.allclose(np.asarray(base), np.asarray(l1), atol=1e-4)
+    assert not np.allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+    # dropout with a key perturbs; without a key it is deterministic
+    l3, _, _ = jllm.llm_apply(params, cfg, input_ids=ids, lora=lora,
+                              lora_scale=1.0, lora_dropout=0.5,
+                              lora_rng=jax.random.PRNGKey(7))
+    l1b, _, _ = jllm.llm_apply(params, cfg, input_ids=ids, lora=lora,
+                               lora_scale=1.0, lora_dropout=0.5)
+    assert not np.allclose(np.asarray(l1), np.asarray(l3), atol=1e-4)
+    assert np.allclose(np.asarray(l1), np.asarray(l1b), atol=1e-6)
+
+
+def test_config_lora_scale_property():
+    cfg = DeSTA25Config(llm_model_id="test/llama-nano",
+                        encoder_model_id="test/whisper-nano",
+                        use_lora=True, lora_rank=16, lora_alpha=16.0)
+    assert cfg.lora_scale == 1.0
+    cfg2 = DeSTA25Config(llm_model_id="test/llama-nano",
+                         encoder_model_id="test/whisper-nano",
+                         use_lora=True, lora_rank=8, lora_alpha=16.0)
+    assert cfg2.lora_scale == 2.0
+
+
+def test_yaml_lora_fields():
+    from desta25_audio_tpu.config import config_from_yaml_model_section
+    cfg = config_from_yaml_model_section({
+        "llm": {"model_id": "test/llama-nano"},
+        "encoder": {"model_id": "test/whisper-nano"},
+        "use_lora": True, "lora_rank": 8, "lora_alpha": 32.0,
+        "lora_dropout": 0.2,
+    })
+    assert cfg.lora_rank == 8 and cfg.lora_alpha == 32.0
+    assert cfg.lora_dropout == 0.2 and cfg.lora_scale == 4.0
