@@ -90,7 +90,7 @@ class SileroOnnxVAD:
             out, state = self.sess.run(
                 None, {"input": frame[None], "state": state,
                        "sr": np.array(sr, np.int64)})
-            probs.append(float(out))
+            probs.append(float(np.asarray(out).reshape(-1)[0]))
         return np.asarray(probs)
 
     def get_speech_timestamps(self, audio, sr=16000, threshold=0.5):

@@ -247,7 +247,14 @@ class CollateFn:
             ctx_pad = L - int(ctx["attention_mask"][i].sum())
             for j, start in enumerate(item["start_positions"]):
                 trans = item["transcription_list"][j]
-                tlen = len(tk.tokenize(trans, add_special_tokens=False))
+                # Clamp to the static transcription buffer: trans_ids is
+                # capped at trans_max_tokens below, and a longer splice
+                # entry would silently repeat the final embedding
+                # (models/splice.py index clamp).  Tail placeholder
+                # positions past the clamp stay text-embedded.
+                tlen = min(
+                    len(tk.tokenize(trans, add_special_tokens=False)),
+                    self.data_cfg.trans_max_tokens)
                 entries.append(SpliceEntry(
                     i, start + pad_len, audio_idx,
                     self.config.audio_token_size, tlen))

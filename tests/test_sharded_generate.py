@@ -61,3 +61,42 @@ def test_asr_suppression():
     ids = np.asarray(ids)
     ok = (ids < cfg.decoder_start_token_id) | (ids == cfg.eos_token_id)
     assert ok.all(), ids
+
+
+def test_asr_suppress_id_list_and_begin_suppress():
+    """suppress_ids blanks the explicit non-speech list every step;
+    begin_suppress_ids (+eos) is blanked for the first sampled token only
+    (HF generation_config semantics, inherited by the reference at
+    modeling_desta25.py:1586-1594)."""
+    from desta25_audio_tpu.config import whisper_config_for
+    from desta25_audio_tpu.models import whisper as jw
+    cfg = whisper_config_for("test/whisper-nano")
+    params = jw.init_whisper(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+    mel = jax.random.normal(jax.random.PRNGKey(4), (2, 300, 80), jnp.float32)
+
+    base, _ = whisper_transcribe(params, cfg, mel, max_new_tokens=8)
+    banned = tuple(int(t) for t in np.unique(np.asarray(base))
+                   if t != cfg.eos_token_id)[:4]
+    assert banned
+    ids, _ = whisper_transcribe(params, cfg, mel, max_new_tokens=8,
+                                suppress_ids=banned)
+    assert not np.isin(np.asarray(ids), np.asarray(banned)).any()
+
+    # begin suppression: ban the tokens that won step 0; they may still
+    # appear later, but never first
+    first = tuple(int(t) for t in np.unique(np.asarray(base)[:, 0]))
+    ids2, _ = whisper_transcribe(params, cfg, mel, max_new_tokens=8,
+                                 begin_suppress_ids=first)
+    assert not np.isin(np.asarray(ids2)[:, 0], np.asarray(first)).any()
+
+    # out-of-vocab ids (real whisper lists on nano vocabs) must be ignored,
+    # not clamp-scattered onto the last real token
+    ids3, _ = whisper_transcribe(params, cfg, mel, max_new_tokens=8,
+                                 suppress_ids=(10 ** 6,))
+    np.testing.assert_array_equal(np.asarray(ids3), np.asarray(base))
+
+    from desta25_audio_tpu.generate.decode import (
+        WHISPER_NON_SPEECH_TOKEN_IDS,
+    )
+    assert len(WHISPER_NON_SPEECH_TOKEN_IDS) > 70
+    assert all(i < 50257 for i in WHISPER_NON_SPEECH_TOKEN_IDS)

@@ -107,6 +107,28 @@ def test_collate_shapes_and_labels(nano_cfg, corpus, tmp_path):
     assert (batch["kind"] == 1).sum() == B * nano_cfg.prompt_size
 
 
+def test_collate_clamps_transcription_splice(nano_cfg, corpus, tmp_path):
+    """Splice entries must not reference transcription embeddings beyond
+    trans_max_tokens — apply_splice would silently repeat the last
+    embedding otherwise (VERDICT r1 weak #4)."""
+    model, _, ds, collate, dcfg = _build(nano_cfg, corpus, tmp_path)
+    items = list(ds.iter_valid())[:2]
+    long_text = " ".join(f"word{i}" for i in range(40))
+    for it in items:
+        it["transcription_list"] = [long_text]
+    batch = collate(items)
+    Ttr = dcfg.trans_max_tokens
+    # every row's transcription-splice region is capped at Ttr positions
+    for i in range(len(items)):
+        n_trans = int((batch["kind"][i] == 2).sum())
+        assert n_trans == Ttr
+        tpos = batch["pos"][i][batch["kind"][i] == 2]
+        assert tpos.max() < Ttr
+    # trans_ids carries exactly the clamped tokens
+    assert batch["trans_ids"].shape[1] == Ttr
+    assert (batch["trans_mask"].sum(axis=1) == Ttr).all()
+
+
 def test_collate_prosody_fields(nano_cfg, corpus, tmp_path):
     """Optional ORCA prosody fields (simple_dataset.py:266-299): zero-fill
     for samples lacking them, fixed local shape [B, T(pad8), 2]."""
