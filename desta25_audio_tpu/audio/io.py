@@ -95,6 +95,17 @@ def _read_wav_any(path: str) -> tuple[np.ndarray, int]:
     return x.reshape(-1, ch), sr
 
 
+def _decode_any(path: str) -> tuple[np.ndarray, int]:
+    """Non-WAV (or non-RIFF) decode through the FFmpeg-backed native
+    codec -> (samples [T, C] float32, native sr)."""
+    from .. import native
+    if not native.ffmpeg_available():
+        raise ValueError(
+            f"{path}: not a decodable WAV and the FFmpeg-backed native "
+            "codec is unavailable (python -m desta25_audio_tpu.native.build)")
+    return native.ff_decode_raw(path)
+
+
 def select_channels(samples: np.ndarray,
                     channel_selector: Union[str, int, Sequence[int], None]
                     = "average") -> np.ndarray:
@@ -148,7 +159,17 @@ class AudioSegment:
                     return cls(samples=samples, sample_rate=target_sr)
                 except ValueError:
                     pass  # unsupported format -> python fallback
-        samples, sr = read_wav(path)
+        is_wav = path.lower().endswith(".wav")
+        if is_wav:
+            try:
+                samples, sr = read_wav(path)
+            except ValueError:
+                samples, sr = _decode_any(path)
+        else:
+            # FLAC / MP3 / OGG / M4A / ... through the FFmpeg-backed
+            # native codec (reference decodes these via soundfile/pydub,
+            # desta/utils/audio.py:245-361)
+            samples, sr = _decode_any(path)
         samples = select_channels(samples, channel_selector)
         if offset:
             samples = samples[int(offset * sr):]
