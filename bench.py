@@ -128,6 +128,14 @@ def main():
     except Exception as e:  # noqa: BLE001
         detail["decode_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # free the perception benchmark's params before the train bench
+    # allocates its own flagship towers
+    del enc_params, conn_params
+    try:
+        detail.update(bench_train(rtt))
+    except Exception as e:  # noqa: BLE001
+        detail["train_error"] = f"{type(e).__name__}: {e}"[:200]
+
     print(json.dumps({
         "metric": "audio-sec/s/chip (pallas-mel + whisper-large-v3 encoder "
                   "+ qformer-6L, bf16, batch 8)",
@@ -254,6 +262,53 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
         "decode_tok_s_per_chip_llama8b_int8_b32": round(decode_results[32],
                                                         1),
         "ttft_p50_ms_single_clip_llama8b_int8": round(p50 * 1e3, 2),
+    }
+
+
+def bench_train(rtt):
+    """Flagship training step on one chip (VERDICT r1 #2): whisper-large-v3
+    bf16 + frozen Llama-3.1-8B int8 + 6L Q-Former (f32, adafactor), remat,
+    reference batch geometry (per-device batch 12, seq 300)."""
+    import sys
+    import time as _t
+
+    from desta25_audio_tpu.train.bench_utils import (
+        build_flagship_train_setup,
+        hbm_analysis,
+    )
+
+    B = 12
+    t0 = _t.time()
+    cfg, step, trainable, frozen, opt_state, batch = \
+        build_flagship_train_setup(batch_size=B, seq_len=300)
+    jax.block_until_ready((trainable, frozen))
+    print(f"train setup {_t.time()-t0:.1f}s", file=sys.stderr)
+
+    mem = hbm_analysis(step, trainable, frozen, opt_state, batch)
+    t0 = _t.time()
+    trainable, opt_state, metrics = step(trainable, frozen, opt_state,
+                                         batch)
+    loss0 = float(metrics["lm_loss"])
+    print(f"train compile+step {_t.time()-t0:.1f}s loss={loss0:.3f}",
+          file=sys.stderr)
+    # warm (donated buffers force fresh step calls)
+    for _ in range(2):
+        trainable, opt_state, metrics = step(trainable, frozen, opt_state,
+                                             batch)
+        float(metrics["lm_loss"])
+    N = 4
+    t0 = _t.time()
+    for _ in range(N):
+        trainable, opt_state, metrics = step(trainable, frozen, opt_state,
+                                             batch)
+        lm = float(metrics["lm_loss"])
+    step_s = max((_t.time() - t0 - N * rtt) / N, 1e-9)
+    assert np.isfinite(lm), lm
+    return {
+        "train_samples_per_s_per_chip_llama8b_int8_frozen": round(
+            B / step_s, 2),
+        "train_step_ms_b12_seq300": round(step_s * 1e3, 1),
+        "train_hbm": mem,
     }
 
 
