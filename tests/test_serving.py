@@ -241,3 +241,58 @@ def test_engine_steps_per_tick_invariant(model, wavs):
         res = eng.run_until_done()
         results.append([res[r] for r in rids])
     assert results[0] == results[1] == results[2], results
+
+
+def test_engine_submit_many_matches_submit(model, wavs):
+    """Batched submission (one perception pass) yields the same outputs
+    as per-request submission."""
+    MAX_NEW = 6
+    eng1 = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                    max_new_tokens=MAX_NEW, ctx_bucket=128)
+    r1 = [eng1.submit(_msgs(wavs[i], i)) for i in range(3)]
+    res1 = eng1.run_until_done()
+
+    eng2 = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                    max_new_tokens=MAX_NEW, ctx_bucket=128)
+    r2 = eng2.submit_many([_msgs(wavs[i], i) for i in range(3)])
+    res2 = eng2.run_until_done()
+    assert [res1[r] for r in r1] == [res2[r] for r in r2]
+
+
+def test_engine_on_token_streaming(model, wavs):
+    """on_token streams every accepted token, in order, and matches the
+    final per-request token lists."""
+    MAX_NEW = 6
+    streamed = {}
+    eng = ContinuousBatchingEngine(
+        model, n_slots=2, max_ctx=128, max_new_tokens=MAX_NEW,
+        ctx_bucket=128,
+        on_token=lambda rid, t: streamed.setdefault(rid, []).append(t))
+    rids = eng.submit_many([_msgs(wavs[i], i) for i in range(3)])
+    eng.run_until_done()
+    for rid in rids:
+        assert streamed[rid] == eng.finished[rid]
+
+
+def test_engine_admission_does_not_stall_active_slots(model, wavs):
+    """A request submitted mid-flight joins without perturbing the tokens
+    already being decoded (admission is dispatched after the tick's
+    decode program)."""
+    MAX_NEW = 6
+    # reference: all three one-shot
+    expected = {}
+    for i, p in enumerate(wavs):
+        expected[i] = model.generate(_msgs(p, i), max_new_tokens=MAX_NEW,
+                                     do_sample=False).text[0]
+    eng = ContinuousBatchingEngine(model, n_slots=3, max_ctx=128,
+                                   max_new_tokens=MAX_NEW, ctx_bucket=128,
+                                   steps_per_tick=2)
+    rid0 = eng.submit(_msgs(wavs[0], 0))
+    eng.step()   # admit rid0
+    eng.step()   # decode rid0 while nothing queued
+    rid1 = eng.submit(_msgs(wavs[1], 1))
+    rid2 = eng.submit(_msgs(wavs[2], 2))
+    res = eng.run_until_done()
+    assert res[rid0] == expected[0]
+    assert res[rid1] == expected[1]
+    assert res[rid2] == expected[2]
