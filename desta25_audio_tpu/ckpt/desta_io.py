@@ -195,8 +195,20 @@ def load_trainable_safetensors(params: Dict[str, Any],
 
 
 def load_frozen_tower(tower: str, model_id: str, weights_root: str,
-                      config: DeSTA25Config, dtype) -> Optional[Dict]:
-    """Load+convert a frozen tower from ``weights_root/<model_id>/``."""
+                      config: DeSTA25Config, dtype,
+                      quant: Optional[str] = None) -> Optional[Dict]:
+    """Load a frozen tower from ``weights_root/<model_id>/``.
+
+    Prefers the staged native format written by the ``hf_convert`` CLI
+    (``desta_tpu.safetensors`` / ``desta_tpu_int8.safetensors``); falls back
+    to converting raw HF-layout ``*.safetensors`` shards in place.  All
+    conversion work runs on the host CPU device — the f32 intermediates of
+    an 8B conversion must never land on a 16 GB chip — and the finished
+    tree is device_put to the default device once.
+    """
+    import jax
+
+    from .flat_io import load_tree_safetensors
     from .hf_convert import (
         convert_llm_state,
         convert_whisper_state,
@@ -205,7 +217,39 @@ def load_frozen_tower(tower: str, model_id: str, weights_root: str,
     path = os.path.join(weights_root, model_id)
     if not os.path.isdir(path):
         return None
-    sd = load_safetensors_state(path)
-    if tower == "whisper":
-        return convert_whisper_state(sd, config.encoder_config, dtype)
-    return convert_llm_state(sd, config.llm_config, dtype)
+
+    want_int8 = tower == "llm" and quant == "int8"
+    native_q = os.path.join(path, "desta_tpu_int8.safetensors")
+    native = os.path.join(path, "desta_tpu.safetensors")
+    cpu = jax.devices("cpu")[0]
+
+    if want_int8 and os.path.exists(native_q):
+        tree = load_tree_safetensors(native_q)
+    elif os.path.exists(native):
+        tree = load_tree_safetensors(native)
+        if not want_int8:
+            tree = jax.tree.map(lambda a: a.astype(dtype), tree)
+        if want_int8:
+            from ..ops.quant import quantize_llm_params
+            logger.warning("no pre-quantized %s; quantizing on host "
+                           "(stage with --int8 to skip this)", native_q)
+            with jax.default_device(cpu):
+                tree = quantize_llm_params(tree)
+    else:
+        raw = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+        if not raw:
+            return None
+        sd = load_safetensors_state(path)
+        with jax.default_device(cpu):
+            if tower == "whisper":
+                tree = convert_whisper_state(sd, config.encoder_config,
+                                             dtype)
+            else:
+                tree = convert_llm_state(sd, config.llm_config, dtype)
+                if want_int8:
+                    from ..ops.quant import quantize_llm_params
+                    tree = quantize_llm_params(tree)
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        tree = jax.device_put(tree, dev)
+    return jax.tree.map(jnp.asarray, tree)

@@ -328,6 +328,10 @@ class DeSTA25Config:
 
     # Compute dtype for the frozen towers ("bfloat16" | "float32").
     dtype: str = "bfloat16"
+    # Weight-only quantization for the frozen LLM ("none" | "int8").
+    # int8 is the only way the 8B flagship fits one 16 GB v5e chip; decode
+    # routes through the fused Pallas dequant kernel (ops/fused_decode.py).
+    llm_quant: str = "none"
 
     @property
     def lora_scale(self) -> float:
@@ -425,4 +429,7 @@ def config_from_yaml_model_section(model_cfg: Dict[str, Any]) -> DeSTA25Config:
             kwargs[k] = v
     if "dtype" in model_cfg:
         kwargs["dtype"] = model_cfg["dtype"]
+    quant = model_cfg.get("llm", {}).get("quant", model_cfg.get("llm_quant"))
+    if quant:
+        kwargs["llm_quant"] = quant
     return DeSTA25Config(**kwargs)

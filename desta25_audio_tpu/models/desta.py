@@ -102,6 +102,9 @@ class DeSTA25AudioModel:
             "whisper": jw.init_whisper(kw, self.enc_cfg, dtype=self.dtype),
             "llm": jllm.init_llm(kl, self.llm_cfg, dtype=self.dtype),
         }
+        if self.config.llm_quant == "int8":
+            from ..ops.quant import quantize_llm_params
+            params["llm"] = quantize_llm_params(params["llm"])
         if self.config.connector_mode == "qformer_1":
             params["connector"] = init_qformer_connector(
                 kc, self.config, dtype=jnp.float32)
@@ -543,8 +546,9 @@ class DeSTA25AudioModel:
         if weights_root:
             for tower, model_id in (("whisper", config.encoder_model_id),
                                     ("llm", config.llm_model_id)):
-                loaded = load_frozen_tower(tower, model_id, weights_root,
-                                           config, model.dtype)
+                loaded = load_frozen_tower(
+                    tower, model_id, weights_root, config, model.dtype,
+                    quant=config.llm_quant if tower == "llm" else None)
                 if loaded is not None:
                     model.params[tower] = loaded
                 else:
@@ -580,7 +584,9 @@ class DeSTA25AudioModel:
                             ("llm", config.llm_model_id)):
                         loaded = load_frozen_tower(
                             tower, model_id, weights_root, config,
-                            model.dtype)
+                            model.dtype,
+                            quant=(config.llm_quant if tower == "llm"
+                                   else None))
                         if loaded is not None:
                             model.params[tower] = loaded
                 model.params = load_trainable_safetensors(
