@@ -148,6 +148,9 @@ def build_from_config(cfg: Dict[str, Any]):
             "generation_kwargs", {}).get("max_new_tokens", 16),
         remat=bool(trainer_cfg.get("gradient_checkpointing", False)),
         seed=cfg.get("seed", 0),
+        # reference default: TrainingArguments(auto_find_batch_size=True)
+        auto_find_batch_size=bool(
+            trainer_cfg.get("auto_find_batch_size", True)),
     )
     wandb_cfg = cfg.get("wandb")
     mlogger = MetricsLogger(
@@ -175,6 +178,10 @@ def main(argv=None):
             jax.config.update("jax_platforms", plat)
         except RuntimeError:
             pass
+    # multi-host handshake (no-op single host) — must run before any
+    # device query; scripts/train_multihost.sh sets the env
+    from ..parallel.distributed import maybe_initialize
+    maybe_initialize()
     level = logging.INFO if jax.process_index() == 0 else logging.WARNING
     logging.basicConfig(
         level=level,

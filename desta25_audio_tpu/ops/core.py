@@ -138,17 +138,31 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         rep = H // Hkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    # Explicit [B, H, T, D] transposes before the einsums: on TPU, XLA's
+    # layout assignment for "bqhd,bkhd" contractions materializes far worse
+    # copies than a dedicated transpose (measured 4x+ on Q-Former
+    # cross-attention shapes, scripts/sweep_cross_attn.py).
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qt, kt,
                         preferred_element_type=jnp.float32)
     logits = logits * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+    # Deferred softmax normalization (flash-attention style): exponentiate
+    # in f32, run the PV matmul on unnormalized bf16 weights, divide the
+    # small [*, Tq, D] output by the row sums — halves the HBM traffic of
+    # normalizing the [*, Tq, Tk] matrix in f32.
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    den = jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", e.astype(v.dtype), vt,
                      preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    out = out / den
+    return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
 
 def causal_mask(Tq: int, Tk: int, offset: int = 0) -> jnp.ndarray:

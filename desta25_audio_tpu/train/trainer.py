@@ -54,6 +54,11 @@ class TrainerConfig:
     eval_max_batches: int = -1
     num_workers: int = 0  # >0 enables the prefetching thread-pool loader
     seed: int = 0
+    # Halve the batch size and restart the epoch on device OOM, like the
+    # reference's TrainingArguments(auto_find_batch_size=True)
+    # (train_desta.py:161).  Only fires before the first successful step —
+    # with static shapes, a step that ran once cannot OOM later.
+    auto_find_batch_size: bool = True
 
 
 class MetricsLogger:
@@ -81,6 +86,12 @@ class MetricsLogger:
             f.write(json.dumps(rec) + "\n")
         if self.wandb is not None:
             self.wandb.log(rec, step=step)
+
+
+def _is_oom(e: Exception) -> bool:
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "out of memory" in s or "OOM" in s)
 
 
 def _git_commit() -> str:
@@ -158,47 +169,79 @@ class DeSTA25Trainer:
         # desta25_*.yaml trainer section: "precedence over max_epochs")
         max_epochs = (10 ** 9 if self.tcfg.max_steps > 0
                       else self.tcfg.max_epochs)
+        stepped_ok = False
         for epoch in range(start_epoch, max_epochs):
-            if self.tcfg.num_workers > 0:
-                from ..data.prefetch import PrefetchLoader
-                loader = PrefetchLoader(
-                    self.train_dataset, self.collate_fn, bs, epoch=epoch,
-                    num_workers=self.tcfg.num_workers)
-            else:
-                loader = data_loader(self.train_dataset, self.collate_fn,
-                                     bs, epoch=epoch)
-            for batch in loader:
-                if batch.get("_empty_batch"):
-                    logger.warning("empty batch at step %d; skipped",
-                                   self.global_step)
+            while True:  # auto_find_batch_size retry (restarts the epoch)
+                bs = self.collate_fn.data_cfg.batch_size
+                if self.tcfg.num_workers > 0:
+                    from ..data.prefetch import PrefetchLoader
+                    loader = PrefetchLoader(
+                        self.train_dataset, self.collate_fn, bs,
+                        epoch=epoch, num_workers=self.tcfg.num_workers)
+                else:
+                    loader = data_loader(self.train_dataset,
+                                         self.collate_fn, bs, epoch=epoch)
+                try:
+                    for batch in loader:
+                        if batch.get("_empty_batch"):
+                            logger.warning("empty batch at step %d; "
+                                           "skipped", self.global_step)
+                            continue
+                        db = self._device_batch(batch)
+                        if (self.config.use_lora
+                                and self.config.lora_dropout > 0):
+                            # per-step adapter-dropout key (peft train())
+                            db["lora_rng"] = jax.random.PRNGKey(
+                                self.global_step)
+                        trainable, opt_state, metrics = self.train_step(
+                            trainable, frozen, opt_state, db)
+                        if not stepped_ok:
+                            # force materialization so an allocation
+                            # failure surfaces here, not at a later fetch
+                            jax.block_until_ready(metrics)
+                            stepped_ok = True
+                        self.global_step += 1
+
+                        if (self.global_step
+                                % self.tcfg.log_every_n_steps == 0):
+                            m = {k: float(v) for k, v in
+                                 jax.device_get(metrics).items()}
+                            dt = time.time() - t_last
+                            m["steps_per_sec"] = (
+                                self.tcfg.log_every_n_steps / dt
+                                if dt > 0 else 0.0)
+                            m["epoch"] = epoch
+                            t_last = time.time()
+                            self.metrics.log({f"train/{k}": v
+                                              for k, v in m.items()},
+                                             self.global_step)
+
+                        if (self.eval_dataset is not None
+                                and self.global_step % val_every == 0):
+                            self.model.params = {**frozen, **trainable}
+                            self.evaluate(
+                                tag=f"ep={epoch}-step={self.global_step}")
+
+                        if 0 < self.tcfg.max_steps <= self.global_step:
+                            break
+                except Exception as e:  # noqa: BLE001
+                    if (not self.tcfg.auto_find_batch_size or stepped_ok
+                            or bs <= 1 or not _is_oom(e)):
+                        raise
+                    new_bs = max(bs // 2, 1)
+                    logger.warning(
+                        "device OOM at batch_size=%d; retrying the epoch "
+                        "at batch_size=%d (auto_find_batch_size)", bs,
+                        new_bs)
+                    self.collate_fn.data_cfg.batch_size = new_bs
+                    spe = self._steps_per_epoch()
+                    val_every = (int(self.tcfg.val_check_interval) if
+                                 self.tcfg.val_check_interval > 1.0 else
+                                 max(int(spe
+                                         * self.tcfg.val_check_interval),
+                                     1))
                     continue
-                db = self._device_batch(batch)
-                if self.config.use_lora and self.config.lora_dropout > 0:
-                    # per-step adapter-dropout key (peft train() semantics)
-                    db["lora_rng"] = jax.random.PRNGKey(self.global_step)
-                trainable, opt_state, metrics = self.train_step(
-                    trainable, frozen, opt_state, db)
-                self.global_step += 1
-
-                if self.global_step % self.tcfg.log_every_n_steps == 0:
-                    m = {k: float(v) for k, v in
-                         jax.device_get(metrics).items()}
-                    dt = time.time() - t_last
-                    m["steps_per_sec"] = (self.tcfg.log_every_n_steps / dt
-                                          if dt > 0 else 0.0)
-                    m["epoch"] = epoch
-                    t_last = time.time()
-                    self.metrics.log({f"train/{k}": v
-                                      for k, v in m.items()},
-                                     self.global_step)
-
-                if (self.eval_dataset is not None
-                        and self.global_step % val_every == 0):
-                    self.model.params = {**frozen, **trainable}
-                    self.evaluate(tag=f"ep={epoch}-step={self.global_step}")
-
-                if 0 < self.tcfg.max_steps <= self.global_step:
-                    break
+                break
             if self.tcfg.save_strategy == "epoch":
                 save_train_state(self.tcfg.exp_dir, self.global_step,
                                  trainable, opt_state, self.config,

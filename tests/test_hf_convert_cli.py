@@ -75,15 +75,10 @@ def test_match_preset_llm():
     assert (kind, mid) == ("llm", "Qwen/Qwen3-0.6B")
 
 
-def _write_hf_llm_snapshot(path, cfg, seed=0):
-    """Random torch-layout state dict in HF llama/qwen key space."""
-    from safetensors.numpy import save_file
-    rng = np.random.default_rng(seed)
+def _build_hf_llm_state(cfg, w):
+    """Torch-layout state dict in HF llama/qwen key space; ``w(shape)``
+    supplies the values."""
     sd = {}
-
-    def w(shape):
-        return rng.standard_normal(shape, np.float32) * 0.02
-
     sd["model.embed_tokens.weight"] = w((cfg.vocab_size, cfg.hidden_size))
     H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
@@ -109,6 +104,15 @@ def _write_hf_llm_snapshot(path, cfg, seed=0):
     sd["model.norm.weight"] = np.ones(cfg.hidden_size, np.float32)
     if not cfg.tie_word_embeddings:
         sd["lm_head.weight"] = w((cfg.vocab_size, cfg.hidden_size))
+    return sd
+
+
+def _write_hf_llm_snapshot(path, cfg, seed=0):
+    """Random HF-layout snapshot dir (config.json + model.safetensors)."""
+    from safetensors.numpy import save_file
+    rng = np.random.default_rng(seed)
+    sd = _build_hf_llm_state(
+        cfg, lambda shape: rng.standard_normal(shape, np.float32) * 0.02)
     os.makedirs(path, exist_ok=True)
     save_file(sd, os.path.join(path, "model.safetensors"))
     with open(os.path.join(path, "config.json"), "w") as f:
@@ -176,9 +180,20 @@ def test_fullsize_conversion_smoke(tmp_path):
 
     wcfg = whisper_config_for("openai/whisper-large-v3")
     rng = np.random.default_rng(0)
+    _tile = rng.standard_normal(65536, np.float32) * 0.02
 
     def w(shape):
-        return (rng.standard_normal(shape, np.float32) * 0.02)
+        # tile-fill: full-size shapes ~10x faster than per-element RNG
+        if np.isscalar(shape) or isinstance(shape, int):
+            shape = (shape,)
+        n = int(np.prod(shape))
+        out = np.empty(n, np.float32)
+        reps = -(-n // _tile.size)
+        for i in range(reps):
+            lo = i * _tile.size
+            out[lo:lo + _tile.size] = _tile[:max(0, min(_tile.size,
+                                                        n - lo))]
+        return out.reshape(shape)
 
     sd = {
         "model.encoder.conv1.weight": w((wcfg.d_model, wcfg.num_mel_bins, 3)),
@@ -238,10 +253,7 @@ def test_fullsize_conversion_smoke(tmp_path):
     del sd, tree
 
     lcfg = llm_config_for("DeSTA-ntu/Llama-3.1-8B-Instruct")
-    src = str(tmp_path / "llm")
-    _write_hf_llm_snapshot(src, lcfg)
-    from desta25_audio_tpu.ckpt.hf_convert import load_safetensors_state
-    sd = load_safetensors_state(src)
+    sd = _build_hf_llm_state(lcfg, w)  # in memory: 32 GB f32, no disk
     with jax.default_device(cpu):
         ltree = convert_llm_state(sd, lcfg, dtype=jnp.bfloat16)
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(ltree))

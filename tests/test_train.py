@@ -180,3 +180,38 @@ def test_checkpoint_resume(nano_cfg, corpus, tmp_path):
     model2, trainer2, *_ = _build(nano_cfg, corpus, tmp_path, max_steps=3)
     trainer2.train(resume_from_checkpoint=trainer.tcfg.exp_dir)
     assert trainer2.global_step == 3
+
+
+def test_auto_find_batch_size_oom_backoff(nano_cfg, corpus, tmp_path):
+    """Device OOM on the first step halves the batch size and restarts the
+    epoch (reference TrainingArguments(auto_find_batch_size=True),
+    train_desta.py:161)."""
+    model, trainer, ds, collate, dcfg = _build(nano_cfg, corpus, tmp_path,
+                                               max_steps=3)
+    assert collate.data_cfg.batch_size == 4
+    real_step = trainer.train_step
+
+    def oom_step(trainable, frozen, opt_state, batch):
+        if int(batch["input_ids"].shape[0]) > 2:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory while trying to "
+                "allocate 18.3GiB")
+        return real_step(trainable, frozen, opt_state, batch)
+
+    trainer.train_step = oom_step
+    trainer.train()
+    assert collate.data_cfg.batch_size == 2  # 4 -> OOM -> 2 -> ran
+    assert trainer.global_step == 3
+
+
+def test_auto_find_batch_size_off_reraises(nano_cfg, corpus, tmp_path):
+    model, trainer, *_ = _build(nano_cfg, corpus, tmp_path, max_steps=1,
+                                auto_find_batch_size=False)
+
+    def oom_step(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+
+    trainer.train_step = oom_step
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        trainer.train()
