@@ -45,7 +45,10 @@ def _flash():
 def _block_sizes(T: int):
     import os
     _, BlockSizes, _ = _flash()
-    bq = min(int(os.environ.get("DESTA_FLASH_BQ", 768)), T)
+    # Swept on v5e encoder shapes (B8 H20 T1536 D64, scripts/sweep_flash.py):
+    # 1536/1536 = 1.23 ms vs 1.52 ms at the old 768/1536 — one whole-row
+    # block amortizes the online-softmax rescale to a single pass.
+    bq = min(int(os.environ.get("DESTA_FLASH_BQ", 1536)), T)
     bkv = min(int(os.environ.get("DESTA_FLASH_BKV", 1536)), T)
     return BlockSizes(
         block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,

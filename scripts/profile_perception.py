@@ -97,7 +97,9 @@ def main():
 
     n_samples = 30 * 16000
 
-    for B in (8, 16, 32):
+    import os as _os
+    _bs = tuple(int(x) for x in _os.environ.get("PROFILE_B", "8,16,32").split(","))
+    for B in _bs:
         audio = jax.random.normal(jax.random.PRNGKey(1), (B, n_samples),
                                   jnp.float32) * 0.1
         mel0 = log_mel_pallas(audio, enc_cfg.num_mel_bins,
