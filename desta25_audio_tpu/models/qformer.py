@@ -70,13 +70,33 @@ def init_bert_encoder(key, cfg: QFormerConfig, dtype=jnp.float32) -> Params:
 
 def _bert_attn_apply(p: Params, q_in, kv_in, n_heads: int) -> jnp.ndarray:
     B, T, D = q_in.shape
-    dh = D // n_heads
-    q = linear(p["q"], q_in).reshape(B, T, n_heads, dh)
-    k = linear(p["k"], kv_in).reshape(B, kv_in.shape[1], n_heads, dh)
-    v = linear(p["v"], kv_in).reshape(B, kv_in.shape[1], n_heads, dh)
-    out = mha(q, k, v).reshape(B, T, D)
+    if _use_packed(n_heads, D, kv_in.shape[1]):
+        # Cross-attention over long encoder kv: the packed Pallas kernel
+        # keeps q/k/v in [B, T, H*Dh] and never materializes the
+        # [B, H, Tq, Tkv] score tensor in HBM (~13 ms/6L of pure traffic
+        # on v5e at B8 x 4 taps, scripts/profile_qformer.py).
+        from ..ops.enc_attention import packed_encoder_attention
+        q = linear(p["q"], q_in)
+        k = linear(p["k"], kv_in)
+        v = linear(p["v"], kv_in)
+        out = packed_encoder_attention(q, k, v, n_heads)
+    else:
+        dh = D // n_heads
+        q = linear(p["q"], q_in).reshape(B, T, n_heads, dh)
+        k = linear(p["k"], kv_in).reshape(B, kv_in.shape[1], n_heads, dh)
+        v = linear(p["v"], kv_in).reshape(B, kv_in.shape[1], n_heads, dh)
+        out = mha(q, k, v).reshape(B, T, D)
     out = linear(p["o"], out)
     return layer_norm(p["ln"], out + q_in, _BERT_EPS)
+
+
+def _use_packed(n_heads: int, d: int, t_kv: int) -> bool:
+    import os
+    from ..ops.enc_attention import packed_supported
+    if os.environ.get("DESTA_PACKED_ATTN", "1") in ("0", "false"):
+        return False
+    return (jax.default_backend() == "tpu" and t_kv >= 512
+            and packed_supported(n_heads, d))
 
 
 def bert_encoder_apply(params: Params, hidden: jnp.ndarray,

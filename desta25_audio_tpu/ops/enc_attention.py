@@ -78,13 +78,14 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, dh: int, t_kv: int,
 
 def _xla_attention(q, k, v, n_heads: int, scale: float):
     from .core import mha as xla_mha
-    B, T, DM = q.shape
+    B, Tq, DM = q.shape
+    Tkv = k.shape[1]
     dh = DM // n_heads
-    qs = q.reshape(B, T, n_heads, dh)
-    ks = k.reshape(B, T, n_heads, dh)
-    vs = v.reshape(B, T, n_heads, dh)
+    qs = q.reshape(B, Tq, n_heads, dh)
+    ks = k.reshape(B, Tkv, n_heads, dh)
+    vs = v.reshape(B, Tkv, n_heads, dh)
     out = xla_mha(qs, ks, vs, scale=scale)
-    return out.reshape(B, T, DM)
+    return out.reshape(B, Tq, DM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -107,6 +108,7 @@ def packed_supported(n_heads: int, d_model: int) -> bool:
 
 def _forward(q, k, v, n_heads, block_q, interpret):
     B, T, DM = q.shape
+    Tkv = k.shape[1]
     dh = DM // n_heads
     scale = 1.0 / math.sqrt(dh)
     if not packed_supported(n_heads, DM):
@@ -115,11 +117,11 @@ def _forward(q, k, v, n_heads, block_q, interpret):
     n_groups = DM // _LANES
     bq = min(block_q, T)
     # pad the kv block to the bf16 sublane multiple (16)
-    tkv_block = -(-T // 16) * 16
+    tkv_block = -(-Tkv // 16) * 16
 
     grid = (B, n_groups, pl.cdiv(T, bq))
     kern = functools.partial(_kernel, heads=heads_per_group, dh=dh,
-                             t_kv=T, scale=scale)
+                             t_kv=Tkv, scale=scale)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, T, DM), q.dtype),

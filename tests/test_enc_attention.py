@@ -46,6 +46,43 @@ def test_packed_matches_xla(B, T, H, Dh):
         atol=2e-2, rtol=2e-2)
 
 
+def test_cross_attention_matches_xla():
+    # Q-Former cross-attention shape class: few queries, long kv.
+    B, Tq, Tkv, H, Dh = 2, 16, 150, 4, 64
+    DM = H * Dh
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 3)
+    bf = lambda k, T: (jax.random.normal(k, (B, T, DM), jnp.float32)
+                       .astype(jnp.bfloat16))
+    q, k, v = bf(ks[0], Tq), bf(ks[1], Tkv), bf(ks[2], Tkv)
+    got = packed_encoder_attention(q, k, v, H, 64, True)
+    want = _xla_attention(q, k, v, H, 1.0 / np.sqrt(Dh))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_vmapped_cross_attention():
+    # The qformer vmaps the connector over the tap axis; the pallas_call
+    # must batch correctly (grid-prepend rule).
+    N, B, Tq, Tkv, H, Dh = 3, 2, 16, 96, 2, 64
+    DM = H * Dh
+    key = jax.random.PRNGKey(4)
+    ks = jax.random.split(key, 3)
+    bf = lambda k, T: (jax.random.normal(k, (N, B, T, DM), jnp.float32)
+                       .astype(jnp.bfloat16))
+    q, k, v = bf(ks[0], Tq), bf(ks[1], Tkv), bf(ks[2], Tkv)
+    got = jax.vmap(
+        lambda a, b, c: packed_encoder_attention(a, b, c, H, 64, True)
+    )(q, k, v)
+    want = jax.vmap(
+        lambda a, b, c: _xla_attention(a, b, c, H, 1.0 / np.sqrt(Dh))
+    )(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
 def test_unsupported_shape_falls_back():
     # Dh=48 does not divide the 128-lane tile -> must take the XLA path
     # (and still be correct).
