@@ -249,6 +249,11 @@ def load_frozen_tower(tower: str, model_id: str, weights_root: str,
                 if want_int8:
                     from ..ops.quant import quantize_llm_params
                     tree = quantize_llm_params(tree)
+    if tower == "whisper" and quant == "int8":
+        from ..ops.quant import quantize_encoder_params
+        with jax.default_device(cpu):
+            tree = dict(tree)
+            tree["encoder"] = quantize_encoder_params(tree["encoder"])
     dev = jax.devices()[0]
     if dev.platform != "cpu":
         tree = jax.device_put(tree, dev)

@@ -332,6 +332,10 @@ class DeSTA25Config:
     # int8 is the only way the 8B flagship fits one 16 GB v5e chip; decode
     # routes through the fused Pallas dequant kernel (ops/fused_decode.py).
     llm_quant: str = "none"
+    # Activation-dynamic int8 for the frozen whisper encoder ("none" |
+    # "int8"): int8xint8 MXU matmuls (~2x bf16 on v5e) with per-token
+    # activation scales. Inference-speed option; the encoder never trains.
+    encoder_quant: str = "none"
 
     @property
     def lora_scale(self) -> float:
@@ -432,4 +436,8 @@ def config_from_yaml_model_section(model_cfg: Dict[str, Any]) -> DeSTA25Config:
     quant = model_cfg.get("llm", {}).get("quant", model_cfg.get("llm_quant"))
     if quant:
         kwargs["llm_quant"] = quant
+    enc_quant = model_cfg.get("encoder", {}).get(
+        "quant", model_cfg.get("encoder_quant"))
+    if enc_quant:
+        kwargs["encoder_quant"] = enc_quant
     return DeSTA25Config(**kwargs)

@@ -105,6 +105,10 @@ class DeSTA25AudioModel:
         if self.config.llm_quant == "int8":
             from ..ops.quant import quantize_llm_params
             params["llm"] = quantize_llm_params(params["llm"])
+        if self.config.encoder_quant == "int8":
+            from ..ops.quant import quantize_encoder_params
+            params["whisper"]["encoder"] = quantize_encoder_params(
+                params["whisper"]["encoder"])
         if self.config.connector_mode == "qformer_1":
             params["connector"] = init_qformer_connector(
                 kc, self.config, dtype=jnp.float32)
@@ -548,7 +552,8 @@ class DeSTA25AudioModel:
                                     ("llm", config.llm_model_id)):
                 loaded = load_frozen_tower(
                     tower, model_id, weights_root, config, model.dtype,
-                    quant=config.llm_quant if tower == "llm" else None)
+                    quant=(config.llm_quant if tower == "llm"
+                           else config.encoder_quant))
                 if loaded is not None:
                     model.params[tower] = loaded
                 else:
@@ -586,7 +591,7 @@ class DeSTA25AudioModel:
                             tower, model_id, weights_root, config,
                             model.dtype,
                             quant=(config.llm_quant if tower == "llm"
-                                   else None))
+                                   else config.encoder_quant))
                         if loaded is not None:
                             model.params[tower] = loaded
                 model.params = load_trainable_safetensors(

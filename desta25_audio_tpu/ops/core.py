@@ -64,6 +64,10 @@ def init_linear(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w" not in p:
+        # int8 leaf from ops.quant.quantize_linear: {"q", "s", "b"?}
+        from .quant import int8_act_matmul
+        return int8_act_matmul(x, p, p.get("b"))
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)

@@ -141,6 +141,80 @@ def quant_matmul(x: jnp.ndarray, leaf: QuantLeaf,
 
 
 # ---------------------------------------------------------------------------
+# Activation-dynamic int8 matmul for compute-bound (big-M) paths
+# ---------------------------------------------------------------------------
+
+
+def int8_act_matmul(x: jnp.ndarray, leaf: QuantLeaf,
+                    bias=None) -> jnp.ndarray:
+    """Per-row dynamic activation quant + int8xint8 MXU dot + f32 dequant.
+
+    For COMPUTE-bound matmuls (the frozen encoder/connector at large M):
+    v5e int8 MXU throughput is ~2x bf16, and XLA fuses the abs-max quant
+    and scale epilogue (measured 356 vs 216 TF/s at M=12000, K=1280,
+    N=5120).  Decode-shaped (bandwidth-bound) matmuls should keep using
+    :func:`quant_matmul` — there the win is weight bytes, not FLOPs.
+    """
+    K = x.shape[-1]
+    xf = x.reshape(-1, K).astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                    1e-8) / 127.0
+    q = jnp.round(xf / s).astype(jnp.int8)
+    y = jax.lax.dot_general(q, leaf["q"], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * s * leaf["s"][None, :]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.reshape(*x.shape[:-1], leaf["q"].shape[1]).astype(x.dtype)
+
+
+def quantize_linear(p: Dict[str, Any]) -> Dict[str, Any]:
+    """{"w", "b"?} linear params -> {"q", "s", "b"?} consumed by
+    ops.core.linear's int8 dispatch."""
+    out: Dict[str, Any] = dict(quantize_weight(p["w"]))
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def _quantize_stacked_linear(p: Dict[str, Any]) -> Dict[str, Any]:
+    out: Dict[str, Any] = dict(jax.vmap(quantize_weight)(p["w"]))
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_encoder_params(params: Dict[str, Any],
+                            include_attention: bool = False
+                            ) -> Dict[str, Any]:
+    """Quantize the whisper encoder's FFN matmuls (fc1/fc2, batched over
+    the stacked layer axis) to int8.
+
+    Conv stem, positional table, and LayerNorms stay bf16 (tiny).  The
+    encoder is frozen in both training and inference (reference
+    modeling_desta25.py:1439-1463), so this is a pure inference-speed
+    option — enable with ``encoder_quant: int8``.
+
+    ``include_attention=False`` is deliberate: quantizing the q/k/v/o
+    projections measured SLOWER end-to-end on v5e (175 vs 166 ms at b8)
+    despite the isolated-matmul win — the dyn-quant epilogue breaks
+    XLA's fusion around the attention kernel and the N=1280 shapes don't
+    amortize the per-row quant passes.  FFN-only measured 144 -> 138 ms.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    if include_attention:
+        attn = dict(layers["attn"])
+        for k in ("q", "k", "v", "o"):
+            attn[k] = _quantize_stacked_linear(attn[k])
+        layers["attn"] = attn
+    for k in ("fc1", "fc2"):
+        layers[k] = _quantize_stacked_linear(layers[k])
+    out["layers"] = layers
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Tree quantization for the LLM
 # ---------------------------------------------------------------------------
 
