@@ -89,7 +89,7 @@ def _xla_attention(q, k, v, n_heads: int, scale: float):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def packed_encoder_attention(q, k, v, n_heads: int, block_q: int = 768,
+def packed_encoder_attention(q, k, v, n_heads: int, block_q: int = 256,
                              interpret: bool = False):
     """Bidirectional MHA on packed [B, T, H*Dh] bf16 tensors.
 
