@@ -34,14 +34,20 @@ from ..parallel.sharding import shard_activation
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [L, B, Tmax, Hkv, Dh]
-    v: jnp.ndarray  # [L, B, Tmax, Hkv, Dh]
+    """Packed KV cache: heads folded into the lane axis.
+
+    [L, B, Tmax, Hkv*Dh] — the fused decode kernel's native layout.  A 5D
+    [.., Hkv, Dh] layout tiles (Hkv, Dh) on TPU, which forces a full-cache
+    relayout copy at the pallas boundary every decode step (measured ~3 ms
+    at b32/8B); the packed form DMAs straight into the kernel."""
+    k: jnp.ndarray  # [L, B, Tmax, Hkv * Dh]
+    v: jnp.ndarray  # [L, B, Tmax, Hkv * Dh]
 
 
 def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.num_hidden_layers, batch, max_len,
-             cfg.num_key_value_heads, cfg.head_dim)
+             cfg.num_key_value_heads * cfg.head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -184,22 +190,23 @@ def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
 
     new_cache = None
     if layer_cache is not None:
-        ck, cv = layer_cache
+        ck, cv = layer_cache  # [B, Tmax, Hkv*Dh] packed (see KVCache)
+        kf = k.reshape(B, T, Hkv * Dh).astype(ck.dtype)
+        vf = v.reshape(B, T, Hkv * Dh).astype(cv.dtype)
         ci = jnp.asarray(cache_index)
         if ci.ndim == 0:
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, ci, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, ci, 0, 0))
+            ck = jax.lax.dynamic_update_slice(ck, kf, (0, ci, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vf, (0, ci, 0))
         else:
             # per-row write offsets (continuous batching: every slot sits
             # at its own decode position)
             def upd(c_row, new_row, i):
-                return jax.lax.dynamic_update_slice(
-                    c_row, new_row.astype(c_row.dtype), (i, 0, 0))
-            ck = jax.vmap(upd)(ck, k, ci)
-            cv = jax.vmap(upd)(cv, v, ci)
-        k, v = ck, cv
+                return jax.lax.dynamic_update_slice(c_row, new_row, (i, 0))
+            ck = jax.vmap(upd)(ck, kf, ci)
+            cv = jax.vmap(upd)(cv, vf, ci)
+        S_c = ck.shape[1]
+        k = ck.reshape(B, S_c, Hkv, Dh)
+        v = cv.reshape(B, S_c, Hkv, Dh)
         new_cache = (ck, cv)
 
     if layer_cache is None and flash_attention_mask is not None:

@@ -16,9 +16,17 @@ This kernel replaces them with ONE launch per decode step:
   ring.  GQA scores use a block-diagonal q packing ([H, Hkv*Dh] with
   zeros off the group block) so one [H, Hkv*Dh] x [S_blk, Hkv*Dh]^T MXU
   dot per (row, tile) computes every head against its own kv head.  The
-  current token's k/v never touch the cache inside the kernel: its score
-  joins the softmax separately, and the (k, v) pair is emitted per layer
-  for an XLA scatter afterwards (cheaper than in-kernel dynamic writes).
+  current token's score joins the softmax separately (position ``ci`` is
+  masked out of the streamed scores), and the (k, v) pair is written back
+  into the cache IN-KERNEL: the cache rides through the call with
+  ``input_output_aliases``, and each batch row does an 8-row-aligned
+  read-modify-write (aligned block DMA in, masked-select row merge, DMA
+  back) — a [1, KVD] row is sub-(8,128)-tile and cannot be DMA'd
+  directly, but the aligned RMW can, and it replaces an XLA
+  dynamic_update_slice that cost ~1 ms/step (scalar index) to ~1.8 ms
+  (per-row indices, the serving-engine shape) in round 2 measurements.
+  The RMW reads overlap the score/value streaming; the write-backs
+  overlap the next layer's weight stream.
 
 Numerics mirror the XLA scan path (models/llm.py): bf16 residual stream,
 f32 matmul accumulation and softmax, bf16 P@V.  Replaces the decode loop
@@ -129,11 +137,14 @@ def fused_supported(params, cfg, cache) -> bool:
     keys = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
     if not all(is_quantized(layers.get(k)) for k in keys):
         return False
-    if cache.k.dtype != jnp.bfloat16:
+    if cache.k.dtype != jnp.bfloat16 or cache.k.ndim != 4:
         return False
-    L, B, S, Hkv, Dh = cache.k.shape
+    L, B, S, KVD = cache.k.shape
+    Hkv, Dh = cfg.num_key_value_heads, cfg.head_dim
     H, D, I = (cfg.num_attention_heads, cfg.hidden_size,
                cfg.intermediate_size)
+    if KVD != Hkv * Dh:
+        return False
     if Dh != 128 or S % 128 != 0 or H % Hkv != 0:
         return False
     if D % 256 != 0 or I % 128 != 0:
@@ -176,18 +187,19 @@ def _make_kernel(m: _Meta):
         if m.qk_norm:
             qn, kn = refs[i:i + 2]
             i += 2
-        cos, sin, bias = refs[i:i + 3]
-        i += 3
+        cos, sin, bias, ci = refs[i:i + 4]
+        i += 4
         s_refs = refs[i:i + 7]
         i += 7
         w_refs = refs[i:i + 7]
         i += 7
         kc, vc = refs[i:i + 2]
         i += 2
-        h_out, knew, vnew = refs[i:i + 3]
+        h_out, kc_out, vc_out = refs[i:i + 3]
         i += 3
         (h, xn, qs, ks, vs, qpad, scores, ofull, attn, mid, acc,
-         wbuf, kvbuf, wsem, kvsem) = refs[i:]
+         wbuf, kvbuf, kwbuf, vwbuf, wsem, kvsem, krsem, vrsem, kwsem,
+         vwsem) = refs[i:]
 
         l = pl.program_id(0)
         R = _W_RING
@@ -345,12 +357,32 @@ def _make_kernel(m: _Meta):
         k = k * cosv + rot(k) * sinv
         kb = k.astype(jnp.bfloat16).reshape(m.B, KVD)
         ks[:m.B] = kb  # post-rope k, for the self score
-        # Emit the new (k, v) rows per layer; the XLA side lands them in
-        # the cache (single-row DMA writes at arbitrary positions are not
-        # expressible in Mosaic's tiled memrefs — VMEM and HBM both tile
-        # (8, 128), so a [1, KVD] slice is sub-tile).
-        knew[0] = kb
-        vnew[0] = vs[:m.B]
+
+        # ---- in-place cache write: aligned 8-row RMW ---------------------
+        # A [1, KVD] row at arbitrary position ci is sub-(8,128)-tile and
+        # cannot be DMA'd; instead DMA the 8-row-aligned block holding ci,
+        # merge the new row with a masked select, and DMA it back into the
+        # aliased cache output.  Reads start here (overlapping the score /
+        # value streaming below); position ci is masked out of the
+        # streamed scores so ordering vs those reads is irrelevant.
+        def kv_rmw_copy(buf, cref, l_idx, b, sem, to_cache):
+            s0 = ci[0, b]
+            al = pl.multiple_of((s0 // 8) * 8, 8)
+            blk = cref.at[l_idx, b, pl.ds(al, 8), :]
+            if to_cache:
+                return pltpu.make_async_copy(buf.at[b], blk, sem.at[b])
+            return pltpu.make_async_copy(blk, buf.at[b], sem.at[b])
+
+        # the previous layer's write-backs stream out of kwbuf/vwbuf —
+        # they must land before this layer's reads reuse the buffers
+        @pl.when(l > 0)
+        def _():
+            for b in range(m.B):
+                kv_rmw_copy(kwbuf, kc_out, l - 1, b, kwsem, True).wait()
+                kv_rmw_copy(vwbuf, vc_out, l - 1, b, vwsem, True).wait()
+        for b in range(m.B):
+            kv_rmw_copy(kwbuf, kc, l, b, krsem, False).start()
+            kv_rmw_copy(vwbuf, vc, l, b, vrsem, False).start()
 
         qb = q.astype(jnp.bfloat16)
         for kv in range(m.Hkv):
@@ -380,6 +412,16 @@ def _make_kernel(m: _Meta):
             return 0
 
         jax.lax.fori_loop(0, kv_total, kbody, 0)
+
+        # kc[l] streaming is done: merge the new k row into its aligned RMW
+        # block and start the write-back (overlaps softmax + the V pass)
+        rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, KVD), 0)
+        for b in range(m.B):
+            kv_rmw_copy(kwbuf, kc, l, b, krsem, False).wait()
+            r = jax.lax.rem(ci[0, b], 8)
+            kwbuf[b] = jnp.where(rowsel == r, ks[b].reshape(1, KVD),
+                                 kwbuf[b])
+            kv_rmw_copy(kwbuf, kc_out, l, b, kwsem, True).start()
 
         # ---- softmax over cache + current token -------------------------
         sfull = scores[:] + bias[:].reshape(m.B, 1, m.S)
@@ -423,6 +465,14 @@ def _make_kernel(m: _Meta):
 
         jax.lax.fori_loop(0, kv_total, vbody, 0)
 
+        # vc[l] streaming is done: merge + write back the new v row
+        for b in range(m.B):
+            kv_rmw_copy(vwbuf, vc, l, b, vrsem, False).wait()
+            r = jax.lax.rem(ci[0, b], 8)
+            vwbuf[b] = jnp.where(rowsel == r, vs[b].reshape(1, KVD),
+                                 vwbuf[b])
+            kv_rmw_copy(vwbuf, vc_out, l, b, vwsem, True).start()
+
         # block-diagonal extract: head h takes its kv(h) slice of the
         # packed [H, Hkv*Dh] output, plus the current token's contribution
         of = ofull[:]                                   # [B, H, KVD] f32
@@ -446,6 +496,10 @@ def _make_kernel(m: _Meta):
         @pl.when(l == m.L - 1)
         def _():
             h_out[:] = h[:]
+            # drain the last layer's cache write-backs before kernel exit
+            for b in range(m.B):
+                kv_rmw_copy(kwbuf, kc_out, m.L - 1, b, kwsem, True).wait()
+                kv_rmw_copy(vwbuf, vc_out, m.L - 1, b, vwsem, True).wait()
 
     return kernel
 
@@ -476,6 +530,7 @@ def _build_call(m: _Meta, interpret: bool):
         pl.BlockSpec((m.B, m.Dh), lambda l: (0, 0), memory_space=vm),  # cos
         pl.BlockSpec((m.B, m.Dh), lambda l: (0, 0), memory_space=vm),  # sin
         pl.BlockSpec((m.B, m.S), lambda l: (0, 0), memory_space=vm),  # bias
+        pl.BlockSpec(memory_space=pltpu.SMEM),                         # ci
     ]
     for _, N in _stage_dims(m.D, m.H, m.Hkv, m.Dh, m.I):
         in_specs.append(
@@ -484,14 +539,18 @@ def _build_call(m: _Meta, interpret: bool):
 
     out_shape = [
         jax.ShapeDtypeStruct((m.Mp, m.D), bf16),
-        jax.ShapeDtypeStruct((m.L, m.B, KVD), bf16),
-        jax.ShapeDtypeStruct((m.L, m.B, KVD), bf16),
+        jax.ShapeDtypeStruct((m.L, m.B, m.S, KVD), bf16),  # aliased k cache
+        jax.ShapeDtypeStruct((m.L, m.B, m.S, KVD), bf16),  # aliased v cache
     ]
     out_specs = [
         pl.BlockSpec((m.Mp, m.D), lambda l: (0, 0), memory_space=vm),
-        pl.BlockSpec((1, m.B, KVD), lambda l: (l, 0, 0), memory_space=vm),
-        pl.BlockSpec((1, m.B, KVD), lambda l: (l, 0, 0), memory_space=vm),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
+    # cache inputs are the last two args; alias them onto outputs 1/2 so
+    # the in-kernel RMW write-back is truly in place (no XLA copy)
+    n_in = len(in_specs)
+    aliases = {n_in - 2: 1, n_in - 1: 2}
     scratch = [
         pltpu.VMEM((m.Mp, m.D), bf16),            # h
         pltpu.VMEM((m.Mp, m.D), bf16),            # xn
@@ -506,8 +565,14 @@ def _build_call(m: _Meta, interpret: bool):
         pltpu.VMEM((m.Mp, bn_max), f32),          # acc
         pltpu.VMEM((_W_RING, bk_max, bn_max), jnp.int8),  # wbuf ring
         pltpu.VMEM((2, m.s_blk, KVD), bf16),      # kvbuf
+        pltpu.VMEM((m.B, 8, KVD), bf16),          # kwbuf (k cache RMW)
+        pltpu.VMEM((m.B, 8, KVD), bf16),          # vwbuf (v cache RMW)
         pltpu.SemaphoreType.DMA((_W_RING,)),      # wsem
         pltpu.SemaphoreType.DMA((2,)),            # kvsem
+        pltpu.SemaphoreType.DMA((m.B,)),          # krsem
+        pltpu.SemaphoreType.DMA((m.B,)),          # vrsem
+        pltpu.SemaphoreType.DMA((m.B,)),          # kwsem
+        pltpu.SemaphoreType.DMA((m.B,)),          # vwsem
     ]
     return pl.pallas_call(
         _make_kernel(m),
@@ -516,6 +581,7 @@ def _build_call(m: _Meta, interpret: bool):
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -538,7 +604,8 @@ def fused_decode_layers(params, cfg, inputs_embeds, attention_mask,
     """
     B, T, D = inputs_embeds.shape
     assert T == 1
-    L, _, S, Hkv, Dh = cache.k.shape
+    L, _, S, _KVD = cache.k.shape
+    Hkv, Dh = cfg.num_key_value_heads, cfg.head_dim
     ci_in = jnp.asarray(cache_index)
     scalar_ci = ci_in.ndim == 0
     ci = (jnp.broadcast_to(ci_in, (B,)) if scalar_ci
@@ -570,30 +637,15 @@ def fused_decode_layers(params, cfg, inputs_embeds, attention_mask,
     if meta.qk_norm:
         args += [layers["q_norm"]["scale"][:, None, :],
                  layers["k_norm"]["scale"][:, None, :]]
-    args += [cos.astype(jnp.float32), sin.astype(jnp.float32), bias]
+    args += [cos.astype(jnp.float32), sin.astype(jnp.float32), bias,
+             ci.reshape(1, B)]
     wkeys = ("wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down")
     args += [layers[k]["s"][:, None, :] for k in wkeys]
     args += [layers[k]["q"] for k in wkeys]
-    args += [cache.k.reshape(L, B, S, Hkv * Dh),
-             cache.v.reshape(L, B, S, Hkv * Dh)]
+    args += [cache.k, cache.v]  # packed [L, B, S, Hkv*Dh] — kernel-native
 
-    h_out, knew, vnew = call(*args)
-
-    knew = knew.reshape(L, B, 1, Hkv, Dh)
-    vnew = vnew.reshape(L, B, 1, Hkv, Dh)
-    if scalar_ci:
-        # single in-place dynamic_update_slice (all rows share the index)
-        newk = jax.lax.dynamic_update_slice(
-            cache.k, knew, (0, 0, ci_in, 0, 0))
-        newv = jax.lax.dynamic_update_slice(
-            cache.v, vnew, (0, 0, ci_in, 0, 0))
-    else:
-        def upd(c, n, idx):
-            return jax.lax.dynamic_update_slice(c, n, (0, idx, 0, 0))
-
-        newk = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(cache.k, knew,
-                                                            ci)
-        newv = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(cache.v, vnew,
-                                                            ci)
+    # cache rows are written IN-KERNEL (aligned 8-row RMW, cache aliased
+    # input->output) — no XLA dynamic_update_slice, no relayout copies
+    h_out, newk, newv = call(*args)
     from ..models.llm import KVCache
     return h_out[:B][:, None, :], KVCache(newk, newv)
