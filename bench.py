@@ -185,18 +185,22 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
     CTX, STEPS = 192, 64
 
     def make_decode(B):
+        """Prefill OUTSIDE the timed region (its own jit); the timed
+        program is the pure decode scan — sustained decode tok/s, not
+        prefill-amortized."""
         Tmax = CTX + STEPS
+        mask = jnp.ones((B, Tmax), jnp.int32)
 
-        def decode_many(params):
+        def prefill(params):
             cache = jllm.init_kv_cache(llm_cfg, B, Tmax,
                                        dtype=jnp.bfloat16)
             ids = jnp.ones((B, CTX), jnp.int32)
-            mask = jnp.ones((B, Tmax), jnp.int32)
             logits, cache, _ = jllm.llm_apply(
                 params, llm_cfg, input_ids=ids, attention_mask=mask,
                 cache=cache, cache_index=0)
-            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
 
+        def decode_scan(params, tok, cache):
             def body(carry, t):
                 tok, cache = carry
                 lg, cache, _ = jllm.llm_apply(
@@ -211,19 +215,29 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
                                            jnp.arange(STEPS))
             return jnp.sum(tok)
 
-        return jax.jit(decode_many)
+        # donate the cache (it is re-made by prefill per timing rep) so
+        # the fused kernel's aliased in-kernel writes stay in place
+        return (jax.jit(prefill),
+                jax.jit(decode_scan, donate_argnums=(2,)))
 
     decode_results = {}
     for B in (8, 32):
-        f = make_decode(B)
+        pf, dec = make_decode(B)
         t0 = time.time()
-        float(f(lp))
+        tok, cache = pf(lp)
+        jax.block_until_ready(cache)
+        float(dec(lp, tok, cache))
         print(f"decode b{B} compile {time.time()-t0:.1f}s",
               file=sys.stderr)
-        t0 = time.time()
-        float(f(lp))
-        total = time.time() - t0 - rtt
-        decode_results[B] = B * STEPS / max(total, 1e-9)
+        best = None
+        for _ in range(3):
+            tok, cache = pf(lp)
+            jax.block_until_ready(cache)
+            t0 = time.time()
+            float(dec(lp, tok, cache))
+            dt = time.time() - t0 - rtt
+            best = dt if best is None else min(best, dt)
+        decode_results[B] = B * STEPS / max(best, 1e-9)
     decode_tok_s = decode_results[8]
 
     # --- TTFT: single clip, full pipeline to first token ---------------

@@ -46,16 +46,17 @@ def main():
 
     for B in bs:
         Tmax = CTX + STEPS
+        mask = jnp.ones((B, Tmax), jnp.int32)
 
-        def decode_many(params):
+        def prefill(params):
             cache = jllm.init_kv_cache(llm_cfg, B, Tmax, dtype=jnp.bfloat16)
             ids = jnp.ones((B, CTX), jnp.int32)
-            mask = jnp.ones((B, Tmax), jnp.int32)
             logits, cache, _ = jllm.llm_apply(
                 params, llm_cfg, input_ids=ids, attention_mask=mask,
                 cache=cache, cache_index=0)
-            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
 
+        def decode_scan(params, tok, cache):
             def body(carry, t):
                 tok, cache = carry
                 lg, cache, _ = jllm.llm_apply(
@@ -70,14 +71,19 @@ def main():
                                            jnp.arange(STEPS))
             return jnp.sum(tok)
 
-        f = jax.jit(decode_many)
+        pf = jax.jit(prefill)
+        dec = jax.jit(decode_scan, donate_argnums=(2,))
         t0 = time.time()
-        float(f(lp))
+        tok, cache = pf(lp)
+        jax.block_until_ready(cache)
+        float(dec(lp, tok, cache))
         print(f"b{B} compile+run {time.time()-t0:.1f}s", file=sys.stderr)
         best = None
         for _ in range(3):
+            tok, cache = pf(lp)
+            jax.block_until_ready(cache)
             t0 = time.time()
-            float(f(lp))
+            float(dec(lp, tok, cache))
             dt = time.time() - t0 - rtt
             best = dt if best is None else min(best, dt)
         ms = best / STEPS * 1e3
