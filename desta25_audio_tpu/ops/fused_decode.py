@@ -70,6 +70,7 @@ class _Meta(NamedTuple):
     qk_norm: bool
     eps: float
     B: int
+    Kd: int   # tokens per row this step (1 = decode; >1 = spec verify)
     Mp: int
     S: int
     s_blk: int
@@ -125,8 +126,11 @@ def _interpret_mode() -> bool:
     return os.environ.get("DESTA_FUSED_INTERPRET", "0") == "1"
 
 
-def fused_supported(params, cfg, cache) -> bool:
-    """Static dispatch predicate (trace-time; shapes + flags only)."""
+def fused_supported(params, cfg, cache, kd: int = 1) -> bool:
+    """Static dispatch predicate (trace-time; shapes + flags only).
+
+    ``kd > 1`` checks eligibility for the spec-verify step (kd tokens
+    per row in one pass)."""
     if os.environ.get("DESTA_FUSED_DECODE", "1") in ("0", "false"):
         return False
     from ..parallel.mesh import current_mesh
@@ -153,8 +157,12 @@ def fused_supported(params, cfg, cache) -> bool:
         return False
     if _pick_sblk(S, Hkv * Dh) is None:
         return False
-    if B * H * S * 4 > _SCORES_BUDGET:
+    if B * kd * H * S * 4 > _SCORES_BUDGET:
         return False
+    if kd > 1:
+        # draft block must fit the RMW window and VMEM (ofull f32)
+        if kd > 8 or B * kd * H * KVD * 4 > 24 * 1024 * 1024:
+            return False
     if jax.default_backend() != "tpu" and not _interpret_mode():
         return False
     return True
@@ -168,6 +176,10 @@ def fused_supported(params, cfg, cache) -> bool:
 def _make_kernel(m: _Meta):
     HDh, KVD = m.H * m.Dh, m.Hkv * m.Dh
     G = m.H // m.Hkv
+    R = m.B * m.Kd            # query rows: Kd tokens per batch row
+    KH = m.Kd * m.H           # score rows per batch row (token-major)
+    W = 8 if m.Kd == 1 else 16  # RMW window (Kd<=8 rows from an 8-aligned
+    #                             base always fit in 16)
     nst = m.S // m.s_blk
     kv_total = m.B * nst
     att_scale = m.Dh ** -0.5
@@ -202,7 +214,7 @@ def _make_kernel(m: _Meta):
          vwsem) = refs[i:]
 
         l = pl.program_id(0)
-        R = _W_RING
+        RING = _W_RING
 
         def wdma(si, l_idx, ti, slot):
             K, N = dims[si]
@@ -218,7 +230,7 @@ def _make_kernel(m: _Meta):
         def wslot(l_idx, g):
             """Ring slot of layer-local weight tile g (absolute over the
             whole step so the ring stays consistent across layers)."""
-            return jax.lax.rem(l_idx * T_w + g, R)
+            return jax.lax.rem(l_idx * T_w + g, RING)
 
         def start_local(l_idx, g, lo, hi):
             """Start layer-local tile index g (traced, g in [lo, hi]
@@ -243,12 +255,12 @@ def _make_kernel(m: _Meta):
         # (overlaps the q/k/v weight stream).
         @pl.when(l == 0)
         def _():
-            for g in range(min(R - 1, T_w)):
+            for g in range(min(_W_RING - 1, T_w)):
                 start_local(0, g, g, g)
             h[:] = x[:]
             qpad[:] = jnp.zeros_like(qpad)
-            if m.Mp > m.B:
-                attn[m.B:, :] = jnp.zeros((m.Mp - m.B, HDh), attn.dtype)
+            if m.Mp > R:
+                attn[R:, :] = jnp.zeros((m.Mp - R, HDh), attn.dtype)
 
         kv_dma(kc, l, 0, 0).start()
 
@@ -269,12 +281,13 @@ def _make_kernel(m: _Meta):
             off_s = offs[si]
 
             def body(ti, _):
-                # prefetch R-1 tiles ahead; the target may live in a later
-                # stage of this layer or spill into the next layer — the
-                # ring keeps the HBM weight stream saturated through the
-                # attention phase and across layer boundaries.
-                nxt = off_s + ti + (R - 1)
-                lo, hi = off_s + R - 1, off_s + total - 1 + R - 1
+                # prefetch RING-1 tiles ahead; the target may live in a
+                # later stage of this layer or spill into the next layer —
+                # the ring keeps the HBM weight stream saturated through
+                # the attention phase and across layer boundaries.
+                nxt = off_s + ti + (RING - 1)
+                lo = off_s + RING - 1
+                hi = off_s + total - 1 + RING - 1
                 if lo < T_w:
                     start_local(l, nxt, lo, min(hi, T_w - 1))
                 if hi >= T_w:
@@ -335,8 +348,8 @@ def _make_kernel(m: _Meta):
         run_stage(2, xn, store_to(vs, m.tiles[2][1]))
 
         # ---- rope + qk-norm; emit (k, v); build block-diagonal q --------
-        q = qs[:m.B].astype(jnp.float32).reshape(m.B, m.H, m.Dh)
-        k = ks[:m.B].astype(jnp.float32).reshape(m.B, m.Hkv, m.Dh)
+        q = qs[:R].astype(jnp.float32).reshape(R, m.H, m.Dh)
+        k = ks[:R].astype(jnp.float32).reshape(R, m.Hkv, m.Dh)
         if m.qk_norm:
             qw = qn[0].astype(jnp.float32).reshape(1, 1, m.Dh)
             kw = kn[0].astype(jnp.float32).reshape(1, 1, m.Dh)
@@ -346,8 +359,8 @@ def _make_kernel(m: _Meta):
                 jnp.mean(jnp.square(k), -1, keepdims=True) + m.eps) * kw
         # NB: newaxis indexing (x[:, None]) lowers to a gather Mosaic
         # rejects — use reshape/keepdims for every broadcast in-kernel.
-        cosv = cos[:].astype(jnp.float32).reshape(m.B, 1, m.Dh)
-        sinv = sin[:].astype(jnp.float32).reshape(m.B, 1, m.Dh)
+        cosv = cos[:].astype(jnp.float32).reshape(R, 1, m.Dh)
+        sinv = sin[:].astype(jnp.float32).reshape(R, 1, m.Dh)
 
         def rot(t):
             t1, t2 = t[..., :m.Dh // 2], t[..., m.Dh // 2:]
@@ -355,20 +368,23 @@ def _make_kernel(m: _Meta):
 
         q = q * cosv + rot(q) * sinv
         k = k * cosv + rot(k) * sinv
-        kb = k.astype(jnp.bfloat16).reshape(m.B, KVD)
-        ks[:m.B] = kb  # post-rope k, for the self score
+        kb = k.astype(jnp.bfloat16).reshape(R, KVD)
+        ks[:R] = kb  # post-rope k, for the in-register draft-block scores
 
-        # ---- in-place cache write: aligned 8-row RMW ---------------------
+        # ---- in-place cache write: aligned W-row RMW ---------------------
         # A [1, KVD] row at arbitrary position ci is sub-(8,128)-tile and
-        # cannot be DMA'd; instead DMA the 8-row-aligned block holding ci,
-        # merge the new row with a masked select, and DMA it back into the
-        # aliased cache output.  Reads start here (overlapping the score /
-        # value streaming below); position ci is masked out of the
-        # streamed scores so ordering vs those reads is irrelevant.
+        # cannot be DMA'd; instead DMA the 8-aligned W-row block holding
+        # rows ci..ci+Kd-1, merge the new rows with masked selects, and
+        # DMA it back into the aliased cache output.  Reads start here
+        # (overlapping the score / value streaming below); positions
+        # >= ci are masked out of the streamed scores so ordering vs
+        # those reads is irrelevant (draft tokens attend each other via
+        # the in-register block, not the cache).
         def kv_rmw_copy(buf, cref, l_idx, b, sem, to_cache):
             s0 = ci[0, b]
-            al = pl.multiple_of((s0 // 8) * 8, 8)
-            blk = cref.at[l_idx, b, pl.ds(al, 8), :]
+            al = pl.multiple_of(
+                jnp.minimum((s0 // 8) * 8, m.S - W), 8)
+            blk = cref.at[l_idx, b, pl.ds(al, W), :]
             if to_cache:
                 return pltpu.make_async_copy(buf.at[b], blk, sem.at[b])
             return pltpu.make_async_copy(blk, buf.at[b], sem.at[b])
@@ -384,10 +400,19 @@ def _make_kernel(m: _Meta):
             kv_rmw_copy(kwbuf, kc, l, b, krsem, False).start()
             kv_rmw_copy(vwbuf, vc, l, b, vrsem, False).start()
 
+        # qpad rows per batch row are token-major: row (j, h) = j*H + h
         qb = q.astype(jnp.bfloat16)
-        for kv in range(m.Hkv):
-            qpad[:, kv * G:(kv + 1) * G, kv * m.Dh:(kv + 1) * m.Dh] = (
-                qb[:, kv * G:(kv + 1) * G])
+        if m.Kd == 1:
+            for kv in range(m.Hkv):
+                qpad[:, kv * G:(kv + 1) * G,
+                     kv * m.Dh:(kv + 1) * m.Dh] = qb[:, kv * G:(kv + 1) * G]
+        else:
+            qb4 = qb.reshape(m.B, m.Kd, m.H, m.Dh)
+            for j in range(m.Kd):
+                for kv in range(m.Hkv):
+                    qpad[:, j * m.H + kv * G:j * m.H + (kv + 1) * G,
+                         kv * m.Dh:(kv + 1) * m.Dh] = (
+                        qb4[:, j, kv * G:(kv + 1) * G])
 
         # ---- scores: stream K cache -------------------------------------
         def kbody(ti, _):
@@ -413,29 +438,53 @@ def _make_kernel(m: _Meta):
 
         jax.lax.fori_loop(0, kv_total, kbody, 0)
 
-        # kc[l] streaming is done: merge the new k row into its aligned RMW
-        # block and start the write-back (overlaps softmax + the V pass)
-        rowsel = jax.lax.broadcasted_iota(jnp.int32, (8, KVD), 0)
+        # kc[l] streaming is done: merge the new k rows into their aligned
+        # RMW block and start the write-back (overlaps softmax + V pass)
+        rowsel = jax.lax.broadcasted_iota(jnp.int32, (W, KVD), 0)
+
+        def merge_rows(buf, src, b):
+            """Masked-select the Kd new rows into RMW window row ci-al+j."""
+            s0 = ci[0, b]
+            r0 = s0 - jnp.minimum((s0 // 8) * 8, m.S - W)
+            out = buf[b]
+            for j in range(m.Kd):
+                out = jnp.where(rowsel == r0 + j,
+                                src[b * m.Kd + j].reshape(1, KVD), out)
+            buf[b] = out
+
         for b in range(m.B):
             kv_rmw_copy(kwbuf, kc, l, b, krsem, False).wait()
-            r = jax.lax.rem(ci[0, b], 8)
-            kwbuf[b] = jnp.where(rowsel == r, ks[b].reshape(1, KVD),
-                                 kwbuf[b])
+            merge_rows(kwbuf, ks, b)
             kv_rmw_copy(kwbuf, kc_out, l, b, kwsem, True).start()
 
-        # ---- softmax over cache + current token -------------------------
+        # ---- softmax over cache + in-register draft block ---------------
+        # The Kd current tokens' k/v never ride the streamed cache this
+        # layer: each score row (j, h) takes its draft-block scores from
+        # registers (block-diagonal packing makes the flat dot equal
+        # q_h . k_{kv(h)}), causally masked so token j sees drafts <= j.
         sfull = scores[:] + bias[:].reshape(m.B, 1, m.S)
-        kself = ks[:m.B].astype(jnp.float32).reshape(m.B, 1, KVD)
-        qp32 = qpad[:].astype(jnp.float32)                # [B, H, KVD]
-        # block-diagonal packing makes the flat dot equal q_h . k_{kv(h)}
-        sself = (jnp.sum(qp32 * kself, axis=-1, keepdims=True)
-                 * att_scale)                             # [B, H, 1]
-        mx = jnp.maximum(jnp.max(sfull, axis=-1, keepdims=True), sself)
+        qp32 = qpad[:].astype(jnp.float32)                # [B, KH, KVD]
+        kdr = ks[:R].astype(jnp.float32).reshape(m.B, m.Kd, KVD)
+        jrow = (jax.lax.broadcasted_iota(jnp.int32, (1, KH, 1), 1)
+                // m.H)
+        sdr = []
+        for j2 in range(m.Kd):
+            s = (jnp.sum(qp32 * kdr[:, j2:j2 + 1, :], axis=-1,
+                         keepdims=True) * att_scale)      # [B, KH, 1]
+            if m.Kd > 1:
+                s = jnp.where(jrow >= j2, s, jnp.float32(-1e30))
+            sdr.append(s)
+        mx = jnp.max(sfull, axis=-1, keepdims=True)
+        for s in sdr:
+            mx = jnp.maximum(mx, s)
         e = jnp.exp(sfull - mx)
-        eself = jnp.exp(sself - mx)
-        inv = 1.0 / (jnp.sum(e, axis=-1, keepdims=True) + eself)
+        edr = [jnp.exp(s - mx) for s in sdr]
+        den = jnp.sum(e, axis=-1, keepdims=True)
+        for ev in edr:
+            den = den + ev
+        inv = 1.0 / den
         scores[:] = e * inv
-        pself = (eself * inv).reshape(m.B, m.H)
+        pdr = [ev * inv for ev in edr]                    # [B, KH, 1] each
 
         # ---- output: stream V cache --------------------------------------
         def vbody(ti, _):
@@ -465,26 +514,27 @@ def _make_kernel(m: _Meta):
 
         jax.lax.fori_loop(0, kv_total, vbody, 0)
 
-        # vc[l] streaming is done: merge + write back the new v row
+        # vc[l] streaming is done: merge + write back the new v rows
         for b in range(m.B):
             kv_rmw_copy(vwbuf, vc, l, b, vrsem, False).wait()
-            r = jax.lax.rem(ci[0, b], 8)
-            vwbuf[b] = jnp.where(rowsel == r, vs[b].reshape(1, KVD),
-                                 vwbuf[b])
+            merge_rows(vwbuf, vs, b)
             kv_rmw_copy(vwbuf, vc_out, l, b, vwsem, True).start()
 
-        # block-diagonal extract: head h takes its kv(h) slice of the
-        # packed [H, Hkv*Dh] output, plus the current token's contribution
-        of = ofull[:]                                   # [B, H, KVD] f32
-        v3 = vs[:m.B].astype(jnp.float32)               # [B, KVD]
+        # fold the draft tokens' PV into ofull (the full-KVD outer
+        # product is harmless: the extract below reads only each row's
+        # kv(h) slice), then block-diagonal extract: head h takes its
+        # kv(h) slice of the packed [KH, Hkv*Dh] output.
+        of = ofull[:]                                   # [B, KH, KVD] f32
+        vdr = vs[:R].astype(jnp.float32).reshape(m.B, m.Kd, KVD)
+        for j2 in range(m.Kd):
+            of = of + pdr[j2] * vdr[:, j2:j2 + 1, :]
+        ofr = of.reshape(R, m.H, KVD)
         for kv in range(m.Hkv):
             hs = slice(kv * G, (kv + 1) * G)
             ds_ = slice(kv * m.Dh, (kv + 1) * m.Dh)
-            slab = (of[:, hs, ds_]
-                    + pself[:, hs].reshape(m.B, G, 1)
-                    * v3[:, ds_].reshape(m.B, 1, m.Dh))  # [B, G, Dh]
-            attn[:m.B, kv * G * m.Dh:(kv + 1) * G * m.Dh] = (
-                slab.reshape(m.B, G * m.Dh).astype(jnp.bfloat16))
+            slab = ofr[:, hs, ds_]                       # [R, G, Dh]
+            attn[:R, kv * G * m.Dh:(kv + 1) * G * m.Dh] = (
+                slab.reshape(R, G * m.Dh).astype(jnp.bfloat16))
 
         # ---- wo + residual, MLP ------------------------------------------
         run_stage(3, attn, resid(m.tiles[3][1]))
@@ -507,6 +557,9 @@ def _make_kernel(m: _Meta):
 @functools.lru_cache(maxsize=16)
 def _build_call(m: _Meta, interpret: bool):
     HDh, KVD = m.H * m.Dh, m.Hkv * m.Dh
+    R = m.B * m.Kd
+    KH = m.Kd * m.H
+    W = 8 if m.Kd == 1 else 16
     bk_max = max(t[0] for t in m.tiles)
     bn_max = max(t[1] for t in m.tiles)
     vm = pltpu.VMEM
@@ -527,8 +580,8 @@ def _build_call(m: _Meta, interpret: bool):
                          memory_space=vm),
         ]
     in_specs += [
-        pl.BlockSpec((m.B, m.Dh), lambda l: (0, 0), memory_space=vm),  # cos
-        pl.BlockSpec((m.B, m.Dh), lambda l: (0, 0), memory_space=vm),  # sin
+        pl.BlockSpec((R, m.Dh), lambda l: (0, 0), memory_space=vm),   # cos
+        pl.BlockSpec((R, m.Dh), lambda l: (0, 0), memory_space=vm),   # sin
         pl.BlockSpec((m.B, m.S), lambda l: (0, 0), memory_space=vm),  # bias
         pl.BlockSpec(memory_space=pltpu.SMEM),                         # ci
     ]
@@ -557,16 +610,16 @@ def _build_call(m: _Meta, interpret: bool):
         pltpu.VMEM((m.Mp, HDh), bf16),            # qs
         pltpu.VMEM((m.Mp, KVD), bf16),            # ks
         pltpu.VMEM((m.Mp, KVD), bf16),            # vs
-        pltpu.VMEM((m.B, m.H, KVD), bf16),        # qpad (block-diag q)
-        pltpu.VMEM((m.B, m.H, m.S), f32),         # scores
-        pltpu.VMEM((m.B, m.H, KVD), f32),         # ofull
+        pltpu.VMEM((m.B, KH, KVD), bf16),         # qpad (block-diag q)
+        pltpu.VMEM((m.B, KH, m.S), f32),          # scores
+        pltpu.VMEM((m.B, KH, KVD), f32),          # ofull
         pltpu.VMEM((m.Mp, HDh), bf16),            # attn
         pltpu.VMEM((m.Mp, m.I), bf16),            # mid
         pltpu.VMEM((m.Mp, bn_max), f32),          # acc
         pltpu.VMEM((_W_RING, bk_max, bn_max), jnp.int8),  # wbuf ring
         pltpu.VMEM((2, m.s_blk, KVD), bf16),      # kvbuf
-        pltpu.VMEM((m.B, 8, KVD), bf16),          # kwbuf (k cache RMW)
-        pltpu.VMEM((m.B, 8, KVD), bf16),          # vwbuf (v cache RMW)
+        pltpu.VMEM((m.B, W, KVD), bf16),          # kwbuf (k cache RMW)
+        pltpu.VMEM((m.B, W, KVD), bf16),          # vwbuf (v cache RMW)
         pltpu.SemaphoreType.DMA((_W_RING,)),      # wsem
         pltpu.SemaphoreType.DMA((2,)),            # kvsem
         pltpu.SemaphoreType.DMA((m.B,)),          # krsem
@@ -594,39 +647,40 @@ def _build_call(m: _Meta, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
-def fused_decode_layers(params, cfg, inputs_embeds, attention_mask,
-                        positions, cache, cache_index):
-    """One decode step through all layers.
+def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
+               cache, cache_index):
+    """Shared driver for the fused decode (Kd=1) / verify (Kd>1) step.
 
-    inputs_embeds [B, 1, D]; attention_mask [B, >=S]; positions [B, 1];
-    cache: KVCache [L, B, S, Hkv, Dh]; cache_index: scalar or [B].
-    Returns (hidden [B, 1, D] bf16 pre-final-norm, new KVCache).
+    inputs_embeds [B, Kd, D]; positions [B, Kd]; cache_index scalar or
+    [B] (position of each row's FIRST token).  Returns
+    (hidden [B, Kd, D] bf16 pre-final-norm, new KVCache).
     """
-    B, T, D = inputs_embeds.shape
-    assert T == 1
+    B, Kd, D = inputs_embeds.shape
+    R = B * Kd
     L, _, S, _KVD = cache.k.shape
     Hkv, Dh = cfg.num_key_value_heads, cfg.head_dim
     ci_in = jnp.asarray(cache_index)
-    scalar_ci = ci_in.ndim == 0
-    ci = (jnp.broadcast_to(ci_in, (B,)) if scalar_ci
+    ci = (jnp.broadcast_to(ci_in, (B,)) if ci_in.ndim == 0
           else ci_in).astype(jnp.int32)
-    pos = positions[:, 0]
-    cos, sin = llm_rope_cos_sin(cfg, pos)  # [B, Dh] f32
+    cos, sin = llm_rope_cos_sin(cfg, positions.reshape(R))  # [R, Dh]
 
+    # streamed-score bias: keys strictly below each row's first token.
+    # Draft tokens (positions >= ci) attend each other via the kernel's
+    # in-register causal block, never through the streamed cache.
     key_idx = jnp.arange(S)[None, :]
     valid = (attention_mask[:, :S] > 0) & (key_idx < ci[:, None])
     bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
 
-    Mp = max(16, -(-B // 16) * 16)
-    xp = inputs_embeds[:, 0].astype(jnp.bfloat16)
-    if Mp != B:
-        xp = jnp.pad(xp, ((0, Mp - B), (0, 0)))
+    Mp = max(16, -(-R // 16) * 16)
+    xp = inputs_embeds.reshape(R, D).astype(jnp.bfloat16)
+    if Mp != R:
+        xp = jnp.pad(xp, ((0, Mp - R), (0, 0)))
 
     layers = params["layers"]
     meta = _Meta(
         L=L, D=D, H=cfg.num_attention_heads, Hkv=Hkv, Dh=Dh,
         I=cfg.intermediate_size, qk_norm=bool(cfg.qk_norm),
-        eps=float(cfg.rms_norm_eps), B=B, Mp=Mp, S=S,
+        eps=float(cfg.rms_norm_eps), B=B, Kd=Kd, Mp=Mp, S=S,
         s_blk=_pick_sblk(S, Hkv * Dh),
         tiles=_stage_tiles(D, cfg.num_attention_heads, Hkv, Dh,
                            cfg.intermediate_size))
@@ -644,8 +698,41 @@ def fused_decode_layers(params, cfg, inputs_embeds, attention_mask,
     args += [layers[k]["q"] for k in wkeys]
     args += [cache.k, cache.v]  # packed [L, B, S, Hkv*Dh] — kernel-native
 
-    # cache rows are written IN-KERNEL (aligned 8-row RMW, cache aliased
+    # cache rows are written IN-KERNEL (aligned W-row RMW, cache aliased
     # input->output) — no XLA dynamic_update_slice, no relayout copies
     h_out, newk, newv = call(*args)
     from ..models.llm import KVCache
-    return h_out[:B][:, None, :], KVCache(newk, newv)
+    return h_out[:R].reshape(B, Kd, D), KVCache(newk, newv)
+
+
+def fused_decode_layers(params, cfg, inputs_embeds, attention_mask,
+                        positions, cache, cache_index):
+    """One decode step through all layers.
+
+    inputs_embeds [B, 1, D]; attention_mask [B, >=S]; positions [B, 1];
+    cache: packed KVCache [L, B, S, Hkv*Dh]; cache_index: scalar or [B].
+    Returns (hidden [B, 1, D] bf16 pre-final-norm, new KVCache).
+    """
+    assert inputs_embeds.shape[1] == 1
+    return _run_fused(params, cfg, inputs_embeds, attention_mask,
+                      positions, cache, cache_index)
+
+
+def fused_verify_layers(params, cfg, inputs_embeds, attention_mask,
+                        positions, cache, cache_index):
+    """Speculative-verify step: Kd tokens per row in ONE weight stream.
+
+    inputs_embeds [B, Kd, D] = the last accepted token + Kd-1 draft
+    tokens; positions [B, Kd] (ci + j); cache_index scalar or [B] = each
+    row's first write position.  Token j attends cache keys < ci (gated
+    by attention_mask) plus draft tokens 0..j via the kernel's
+    in-register causal block; all Kd (k, v) rows land in the cache at
+    ci..ci+Kd-1 (rows past the accepted count are dead until
+    overwritten — the next step's bias masks them).  Requires
+    ci <= S - Kd.  Returns (hidden [B, Kd, D], new KVCache) — logits for
+    every draft position from one ~weight-bound pass (the marginal cost
+    over a single-token step is just the extra attention math).
+    """
+    assert inputs_embeds.shape[1] > 1
+    return _run_fused(params, cfg, inputs_embeds, attention_mask,
+                      positions, cache, cache_index)

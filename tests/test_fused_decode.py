@@ -160,3 +160,90 @@ def test_fused_teacher_forced_trajectory(rng, monkeypatch):
     got, _ = run(True, cache0, mask0, forced=ref_toks)
     for t, (r, g) in enumerate(zip(ref, got)):
         assert np.max(np.abs(r - g)) / (np.abs(r).max() + 1e-6) < 5e-2, t
+
+
+@pytest.mark.parametrize("qk_norm", [False, True])
+def test_fused_verify_matches_xla_multitoken(qk_norm, rng, monkeypatch):
+    """Spec-verify (Kd tokens per row, one weight stream) vs the XLA path
+    run with the same Kd tokens as a T=Kd cached call: logits AND cache
+    writes must agree at every draft position."""
+    B, T_ctx, S, Kd = 2, 8, 128, 4
+    cfg, qparams, cache = _setup(qk_norm, B, S, seed=3)
+    _, cache, mask = _prefill(cfg, qparams, cache, B, T_ctx, S, rng)
+    toks = jnp.asarray(rng.integers(2, 500, size=(B, Kd)), jnp.int32)
+    mask = mask.at[:, T_ctx:T_ctx + Kd].set(1)
+    pos = T_ctx + jnp.arange(Kd)[None, :] + jnp.zeros((B, 1), jnp.int32)
+
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "0")
+    ref_logits, ref_cache, _ = _one_step(cfg, qparams, cache, toks, mask,
+                                         pos, T_ctx)
+
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    from desta25_audio_tpu.models.llm import _head_logits, rms_norm
+    from desta25_audio_tpu.ops.fused_decode import (
+        fused_supported,
+        fused_verify_layers,
+    )
+    assert fused_supported(qparams, cfg, cache, kd=Kd)
+    embeds = qparams["embed"][toks]
+    hidden, got_cache = fused_verify_layers(
+        qparams, cfg, embeds, mask, pos, cache, T_ctx)
+    hidden = rms_norm(qparams["norm"], hidden, cfg.rms_norm_eps)
+    got_logits = _head_logits(qparams, cfg, hidden)
+
+    ref = np.asarray(ref_logits, np.float32)
+    got = np.asarray(got_logits, np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.max(np.abs(ref - got)) / scale < 3e-2
+    # all Kd cache rows written identically, nothing else disturbed
+    rk = np.asarray(ref_cache.k, np.float32)
+    gk = np.asarray(got_cache.k, np.float32)
+    assert np.max(np.abs(rk - gk)) < 0.05
+    rv = np.asarray(ref_cache.v, np.float32)
+    gv = np.asarray(got_cache.v, np.float32)
+    assert np.max(np.abs(rv - gv)) < 0.05
+    changed = np.abs(gk - np.asarray(cache.k, np.float32)).sum(axis=(0, 3))
+    assert (changed[:, T_ctx:T_ctx + Kd] > 0).all()
+    assert (changed[:, T_ctx + Kd:] == 0).all()
+
+
+def test_fused_verify_per_row_positions(rng, monkeypatch):
+    """Verify step with per-row cache positions (serving shape)."""
+    B, S, Kd = 3, 128, 3
+    cfg, qparams, cache = _setup(False, B, S, seed=4)
+    ctx = np.array([5, 9, 16], np.int32)
+    ids = jnp.asarray(rng.integers(2, 500, size=(B, 16)), jnp.int32)
+    _, cache, _ = jllm.llm_apply(
+        qparams, cfg, input_ids=ids,
+        attention_mask=jnp.zeros((B, S), jnp.int32).at[:, :16].set(1),
+        cache=cache, cache_index=0)
+    ci = jnp.asarray(ctx)
+    mask_np = np.zeros((B, S), np.int32)
+    for b in range(B):
+        mask_np[b, :ctx[b] + Kd] = 1
+    mask = jnp.asarray(mask_np)
+    toks = jnp.asarray(rng.integers(2, 500, size=(B, Kd)), jnp.int32)
+    pos = ci[:, None] + jnp.arange(Kd)[None, :]
+
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "0")
+    ref_logits, ref_cache, _ = _one_step(cfg, qparams, cache, toks, mask,
+                                         pos, ci)
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    from desta25_audio_tpu.models.llm import _head_logits, rms_norm
+    from desta25_audio_tpu.ops.fused_decode import fused_verify_layers
+    embeds = qparams["embed"][toks]
+    hidden, got_cache = fused_verify_layers(
+        qparams, cfg, embeds, mask, pos, cache, ci)
+    hidden = rms_norm(qparams["norm"], hidden, cfg.rms_norm_eps)
+    got_logits = _head_logits(qparams, cfg, hidden)
+
+    ref = np.asarray(ref_logits, np.float32)
+    got = np.asarray(got_logits, np.float32)
+    assert np.max(np.abs(ref - got)) / (np.abs(ref).max() + 1e-6) < 3e-2
+    for b in range(B):
+        for j in range(Kd):
+            rk = np.asarray(ref_cache.k[:, b, ctx[b] + j], np.float32)
+            gk = np.asarray(got_cache.k[:, b, ctx[b] + j], np.float32)
+            assert np.max(np.abs(rk - gk)) < 0.05
