@@ -243,6 +243,15 @@ _LLM_PRESETS: Dict[str, Dict[str, Any]] = {
         max_position_embeddings=2048, bos_token_id=1, eos_token_id=2,
         chat_template="llama3",
     ),
+    "test/llama-nano128": dict(
+        # fused-decode-compatible nano (Dh=128, D % 256 == 0): exercises
+        # the single-kernel decode / spec-verify paths in CI
+        vocab_size=512, hidden_size=512, intermediate_size=768,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=128, rope_theta=10000.0, rope_scaling=None,
+        max_position_embeddings=2048, bos_token_id=1, eos_token_id=2,
+        chat_template="llama3",
+    ),
     "test/qwen3-nano": dict(
         vocab_size=512, hidden_size=64, intermediate_size=128,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,

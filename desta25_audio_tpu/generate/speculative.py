@@ -1,0 +1,236 @@
+"""Speculative greedy decoding: n-gram drafting + fused multi-token verify.
+
+The fused decode kernel is HBM-bound on the weight stream, so verifying
+``k`` draft tokens per row costs almost nothing over a single-token step
+(measured on v5e, 8B int8 b8: 10.45 ms for 1 token vs 10.93 ms for 4 —
++4.6%).  That makes *prompt-lookup* speculative decoding (vLLM's
+ngram drafter; no draft model, no training) nearly free: propose the
+continuation of the last bigram's most recent earlier occurrence in the
+token history, verify all k tokens in one weight stream, and accept the
+longest prefix that matches the model's own greedy choices.  Worst case
+(nothing ever matches) decodes at the plain fused rate + ~5%; repetitive
+stretches (transcriptions, lists, JSON, quoted context) decode several
+tokens per step.
+
+Greedy only: acceptance compares draft tokens to the verify pass's own
+argmax, so the emitted trajectory follows exactly the distribution the
+verify forward defines — the same greedy semantics as plain decode.
+(Not bit-identical to the sequential loop in general: a verified token
+attends its in-flight predecessors through the kernel's f32 in-register
+block, while the sequential loop streams them from the bf16 cache, so a
+numerically tied argmax can resolve differently.  Both are valid
+bf16-rounding variants of the same math — the same caveat applies to
+vLLM's spec decode.)
+
+Replaces the decode loop of the reference's HF ``generate``
+(modeling_desta25.py:1419-1427) when ``speculative_k >= 2``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig
+from ..models import llm as jllm
+from ..models.llm import _head_logits, rms_norm
+from ..ops.fused_decode import fused_supported, fused_verify_layers
+
+
+def ngram_propose(hist: jnp.ndarray, hlen: jnp.ndarray,
+                  k: int) -> jnp.ndarray:
+    """Draft ``k`` tokens per row by bigram prompt-lookup.
+
+    hist: [B, Th] emitted-token history (prompt ids + generated), padded
+    with anything past ``hlen``; hlen: [B] valid lengths (>= 1).  Finds
+    the most recent earlier occurrence of the last bigram
+    (hist[hlen-2], hist[hlen-1]) and proposes the ``k`` tokens that
+    followed it.  Rows with no match (or hlen < 2) propose the last
+    token repeated — a free guess that still wins on degenerate loops.
+    """
+    B, Th = hist.shape
+
+    def row(h, n):
+        cur = h[jnp.maximum(n - 1, 0)]
+        prev = h[jnp.maximum(n - 2, 0)]
+        i_idx = jnp.arange(Th - 1)
+        nxt = jnp.roll(h, -1)[:-1]
+        match = (h[:-1] == prev) & (nxt == cur)
+        # exclude the trailing bigram itself and anything past history
+        match &= (i_idx + 1) < (n - 1)
+        match &= n >= 2
+        best = jnp.max(jnp.where(match, i_idx, -1))
+        found = best >= 0
+        start = jnp.clip(best + 2, 0, Th - k)
+        cand = jax.lax.dynamic_slice(h, (start,), (k,))
+        # matched continuation may run past the valid history; fall back
+        # to repeating the last token there
+        cpos = start + jnp.arange(k)
+        cand = jnp.where(found & (cpos < n), cand, cur)
+        return cand
+
+    return jax.vmap(row)(hist, hlen)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_ids", "pad_id",
+                     "speculative_k", "return_stats"),
+)
+def llm_generate_spec(
+    params,
+    cfg: LLMConfig,
+    inputs_embeds: jnp.ndarray,       # [B, T, D] spliced context (left-pad)
+    attention_mask: jnp.ndarray,      # [B, T] 1/0
+    *,
+    max_new_tokens: int,
+    eos_ids: Tuple[int, ...] = (),
+    pad_id: int = 0,
+    speculative_k: int = 4,
+    prompt_ids: Optional[jnp.ndarray] = None,  # [B, Tp] for n-gram lookup
+    prompt_lens: Optional[jnp.ndarray] = None,  # [B]
+    return_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Prefill + speculative greedy decode.
+
+    Same contract as ``llm_generate`` with do_sample=False: returns
+    (tokens [B, max_new_tokens], n_generated [B]); the stop token stays
+    in the output, later positions hold ``pad_id``.  ``prompt_ids``
+    (optional, e.g. the tokenized text context) seed the n-gram lookup
+    table; generated tokens always extend it.
+    """
+    B, T, D = inputs_embeds.shape
+    Kd = speculative_k
+    assert Kd >= 2
+
+    Tmax = -(-(T + max_new_tokens + Kd) // 128) * 128
+    cache = jllm.init_kv_cache(cfg, B, Tmax, dtype=inputs_embeds.dtype)
+    full_mask = jnp.zeros((B, Tmax), jnp.int32
+                          ).at[:, :T].set(attention_mask)
+    positions = jnp.maximum(jnp.cumsum(attention_mask, axis=1) - 1, 0)
+    logits, cache, _ = jllm.llm_apply(
+        params, cfg, inputs_embeds=inputs_embeds,
+        attention_mask=full_mask, positions=positions,
+        cache=cache, cache_index=0)
+    last_pos = positions[:, -1]
+
+    tok0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    eos_arr = jnp.asarray(eos_ids, jnp.int32) if eos_ids else None
+
+    def is_eos(t):
+        if eos_arr is None:
+            return jnp.zeros(t.shape, bool)
+        return jnp.any(t[..., None] == eos_arr, axis=-1)
+
+    # mask: every slot >= T is pre-marked valid — the verify bias only
+    # admits keys < each row's write position anyway, so this is exact
+    # and saves a mask update per step.
+    mask = full_mask.at[:, T:].set(1)
+
+    # n-gram history: [prompt ids | generated tokens], padded by Kd so
+    # the unclamped writes below never wrap
+    Tp = 0 if prompt_ids is None else prompt_ids.shape[1]
+    hist0 = jnp.full((B, Tp + max_new_tokens + Kd), -1, jnp.int32)
+    if prompt_ids is not None:
+        hist0 = hist0.at[:, :Tp].set(prompt_ids)
+        hlen0 = (prompt_lens if prompt_lens is not None
+                 else jnp.full((B,), Tp, jnp.int32)).astype(jnp.int32)
+    else:
+        hlen0 = jnp.zeros((B,), jnp.int32)
+    hist0 = jax.vmap(
+        lambda h, n, v: jax.lax.dynamic_update_slice(h, v[None], (n,))
+    )(hist0, hlen0, tok0)
+
+    out0 = jnp.full((B, max_new_tokens + Kd), pad_id, jnp.int32)
+    out0 = out0.at[:, 0].set(tok0)
+
+    state = dict(
+        t=jnp.ones((B,), jnp.int32),         # emitted per row (tok0 = 1)
+        cur=tok0,
+        done=is_eos(tok0),
+        out=out0,
+        hist=hist0,
+        hlen=hlen0 + 1,
+        cache=cache,
+        ci=jnp.full((B,), T, jnp.int32),     # next cache write slot
+        pos=last_pos + 1,                    # rope position of cur
+        steps=jnp.asarray(0, jnp.int32),
+        accepted=jnp.asarray(0, jnp.int32),
+    )
+
+    jidx = jnp.arange(Kd)[None, :]
+
+    def cond(s):
+        return ~jnp.all(s["done"])
+
+    def body(s):
+        draft = ngram_propose(s["hist"], s["hlen"], Kd - 1)
+        toks = jnp.concatenate([s["cur"][:, None], draft], axis=1)
+        posn = s["pos"][:, None] + jidx
+        embeds = params["embed"][toks]
+        hidden, cache = fused_verify_layers(
+            params, cfg, embeds, mask, posn, s["cache"], s["ci"])
+        hidden = rms_norm(params["norm"], hidden, cfg.rms_norm_eps)
+        lg = _head_logits(params, cfg, hidden)       # [B, Kd, V]
+        g = jnp.argmax(lg, -1).astype(jnp.int32)
+
+        match = (toks[:, 1:] == g[:, :-1]).astype(jnp.int32)
+        m = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)   # [B]
+        # stop at the first accepted eos; respect the token budget
+        eos_hit = is_eos(g)
+        eos_pos = jnp.min(jnp.where(eos_hit & (jidx < m[:, None]),
+                                    jidx, Kd), axis=1)
+        m = jnp.minimum(m, eos_pos + 1)
+        m = jnp.minimum(m, max_new_tokens - s["t"])
+        m = jnp.where(s["done"], 0, jnp.maximum(m, 0))
+
+        # write all Kd candidates; junk past m is pad_id and gets
+        # overwritten by the next step (which starts at t + m) — the
+        # out/hist buffers carry Kd slack so the unclamped DUS never
+        # shifts
+        emit_mask = (jidx < m[:, None]) & ~s["done"][:, None]
+        emit = jnp.where(emit_mask, g, pad_id)
+        out = jax.vmap(lambda b, v, i: jax.lax.dynamic_update_slice(
+            b, v, (i,)))(s["out"], emit, s["t"])
+        hist = jax.vmap(lambda b, v, i: jax.lax.dynamic_update_slice(
+            b, v, (i,)))(s["hist"], emit, s["hlen"])
+
+        nxt = jnp.take_along_axis(
+            g, jnp.maximum(m - 1, 0)[:, None], axis=1)[:, 0]
+        cur = jnp.where(s["done"], s["cur"], nxt)
+        done = s["done"] | (eos_pos < m) | (s["t"] + m >= max_new_tokens)
+        return dict(
+            t=s["t"] + m, cur=cur, done=done, out=out, hist=hist,
+            hlen=s["hlen"] + m, cache=cache, ci=s["ci"] + m,
+            pos=s["pos"] + m, steps=s["steps"] + 1,
+            accepted=s["accepted"] + jnp.sum(m))
+
+    state = jax.lax.while_loop(cond, body, state)
+    out = state["out"][:, :max_new_tokens]
+    n_gen = jnp.sum(out != pad_id, axis=-1)
+    if return_stats:
+        # verify steps taken / tokens emitted across the batch — mean
+        # acceptance = accepted / (steps * B_active); >1 token/step means
+        # the drafter is paying off
+        return out, n_gen, state["steps"], state["accepted"]
+    return out, n_gen
+
+
+def spec_generate_supported(params, cfg, B: int, S: int,
+                            speculative_k: int,
+                            dtype=jnp.bfloat16) -> bool:
+    """Trace-time predicate: can the spec loop run here?  ``dtype`` must
+    be the dtype the decode cache will actually carry (the model/embeds
+    dtype — the fused kernel requires bf16)."""
+    if speculative_k < 2:
+        return False
+    cache = jax.eval_shape(
+        lambda: jllm.init_kv_cache(cfg, B, S, dtype=dtype))
+
+    class _C:
+        k = cache.k
+
+    return fused_supported(params, cfg, _C, kd=speculative_k)

@@ -236,7 +236,8 @@ class DeSTA25AudioModel:
     def generate(self, messages, temperature: float = 0.7,
                  top_p: float = 0.9, do_sample: bool = True,
                  max_new_tokens: int = 512,
-                 auto_chunk_long_audio: bool = False) -> GenerationOutput:
+                 auto_chunk_long_audio: bool = False,
+                 speculative_k: int = 0) -> GenerationOutput:
         """Reference-compatible inference entry point
         (modeling_desta25.py:1491-1721).
 
@@ -244,6 +245,12 @@ class DeSTA25AudioModel:
         window into overlapping windows spliced as consecutive audio
         blocks (extension; the reference truncates at 30 s — SURVEY §5).
         Only audios without a user transcription are chunked.
+
+        speculative_k: >= 2 enables n-gram speculative greedy decoding
+        (generate/speculative.py): k-token drafts verified in one fused
+        weight stream per step.  Requires do_sample=False, int8 LLM
+        weights, and no LoRA/ORCA injection; silently falls back to the
+        plain loop otherwise.
         """
         if isinstance(messages, list):
             messages_list = ([messages] if isinstance(messages[0], dict)
@@ -257,7 +264,8 @@ class DeSTA25AudioModel:
                                                     cleanup_paths)
         try:
             return self._generate_impl(messages_list, temperature, top_p,
-                                       do_sample, max_new_tokens)
+                                       do_sample, max_new_tokens,
+                                       speculative_k)
         finally:
             for p in cleanup_paths:
                 try:
@@ -451,14 +459,28 @@ class DeSTA25AudioModel:
             jnp.asarray(pos))
         return embeds, attn_mask, aux, all_audios, all_transcriptions
 
+    def _spec_eligible(self, speculative_k, do_sample, inject_kwargs,
+                       B, T, max_new_tokens) -> bool:
+        """Trace-time check: can this request use speculative decode?"""
+        if speculative_k < 2 or do_sample or inject_kwargs:
+            return False
+        if self.params.get("lora") is not None:
+            return False
+        from ..generate.speculative import spec_generate_supported
+        S = -(-(T + max_new_tokens + speculative_k) // 128) * 128
+        return spec_generate_supported(self.params["llm"], self.llm_cfg,
+                                       B, S, speculative_k,
+                                       dtype=self.dtype)
+
     def _generate_impl(self, messages_list, temperature, top_p, do_sample,
-                       max_new_tokens) -> GenerationOutput:
+                       max_new_tokens,
+                       speculative_k: int = 0) -> GenerationOutput:
         tk = self.tokenizer
         prep = self._run_generation_phases(messages_list)
         if prep is None:
             return self._generate_text_only(
                 messages_list, temperature, top_p, do_sample,
-                max_new_tokens)
+                max_new_tokens, speculative_k)
         embeds, attn_mask, aux, all_audios, all_transcriptions = prep
         self._gen_key, key = jax.random.split(self._gen_key)
         inject_kwargs = {}
@@ -469,14 +491,25 @@ class DeSTA25AudioModel:
                 inject_tokens=inject_tokens,
                 inject_scale=self.config.orca_audio_position_scale,
                 inject_heads=self.llm_cfg.num_attention_heads)
-        tokens, n_gen = llm_generate(
-            self.params["llm"], self.llm_cfg, embeds,
-            jnp.asarray(attn_mask), key,
-            max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p, do_sample=do_sample,
-            eos_ids=self._terminators(), pad_id=tk.pad_token_id,
-            lora=self.params.get("lora"),
-            lora_scale=self.config.lora_scale, **inject_kwargs)
+        if self._spec_eligible(speculative_k, do_sample, inject_kwargs,
+                               embeds.shape[0], embeds.shape[1],
+                               max_new_tokens):
+            from ..generate.speculative import llm_generate_spec
+            tokens, n_gen = llm_generate_spec(
+                self.params["llm"], self.llm_cfg, embeds,
+                jnp.asarray(attn_mask),
+                max_new_tokens=max_new_tokens,
+                eos_ids=self._terminators(), pad_id=tk.pad_token_id,
+                speculative_k=speculative_k)
+        else:
+            tokens, n_gen = llm_generate(
+                self.params["llm"], self.llm_cfg, embeds,
+                jnp.asarray(attn_mask), key,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                top_p=top_p, do_sample=do_sample,
+                eos_ids=self._terminators(), pad_id=tk.pad_token_id,
+                lora=self.params.get("lora"),
+                lora_scale=self.config.lora_scale, **inject_kwargs)
         tokens = np.asarray(tokens)
         texts = tk.batch_decode(tokens, skip_special_tokens=True)
         return GenerationOutput(
@@ -499,7 +532,8 @@ class DeSTA25AudioModel:
         return tuple(sorted(terms))
 
     def _generate_text_only(self, messages_list, temperature, top_p,
-                            do_sample, max_new_tokens) -> GenerationOutput:
+                            do_sample, max_new_tokens,
+                            speculative_k: int = 0) -> GenerationOutput:
         """Plain LLM chat path (modeling_desta25.py:1686-1721)."""
         tk = self.tokenizer
         texts = tk.apply_chat_template(messages_list, tokenize=False,
@@ -511,12 +545,29 @@ class DeSTA25AudioModel:
         attn_mask = jnp.asarray(np.asarray(enc["attention_mask"], np.int32))
         embeds = jllm.embed_tokens(self.params["llm"], input_ids)
         self._gen_key, key = jax.random.split(self._gen_key)
-        tokens, _ = llm_generate(
-            self.params["llm"], self.llm_cfg, embeds, attn_mask, key,
-            max_new_tokens=max_new_tokens, temperature=temperature,
-            top_p=top_p, do_sample=do_sample, eos_ids=self._terminators(),
-            pad_id=tk.pad_token_id, lora=self.params.get("lora"),
-            lora_scale=self.config.lora_scale)
+        if self._spec_eligible(speculative_k, do_sample, {},
+                               embeds.shape[0], embeds.shape[1],
+                               max_new_tokens):
+            from ..generate.speculative import llm_generate_spec
+            # left-padded rows -> left-aligned history for n-gram lookup
+            lens = jnp.sum(attn_mask, axis=1).astype(jnp.int32)
+            Tp = input_ids.shape[1]
+            aligned = jax.vmap(lambda r, n: jnp.roll(r, n - Tp))(
+                input_ids, lens)
+            tokens, _ = llm_generate_spec(
+                self.params["llm"], self.llm_cfg, embeds, attn_mask,
+                max_new_tokens=max_new_tokens,
+                eos_ids=self._terminators(), pad_id=tk.pad_token_id,
+                speculative_k=speculative_k,
+                prompt_ids=aligned, prompt_lens=lens)
+        else:
+            tokens, _ = llm_generate(
+                self.params["llm"], self.llm_cfg, embeds, attn_mask, key,
+                max_new_tokens=max_new_tokens, temperature=temperature,
+                top_p=top_p, do_sample=do_sample,
+                eos_ids=self._terminators(),
+                pad_id=tk.pad_token_id, lora=self.params.get("lora"),
+                lora_scale=self.config.lora_scale)
         tokens = np.asarray(tokens)
         return GenerationOutput(
             text=tk.batch_decode(tokens, skip_special_tokens=True),

@@ -1,0 +1,141 @@
+"""Speculative greedy decoding: drafting, acceptance, and trajectory
+equality with plain greedy decode (interpret-mode fused kernels on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from desta25_audio_tpu.config import LLMConfig
+from desta25_audio_tpu.generate.decode import llm_generate
+from desta25_audio_tpu.generate.speculative import (
+    llm_generate_spec,
+    ngram_propose,
+)
+from desta25_audio_tpu.models import llm as jllm
+from desta25_audio_tpu.ops.core import tree_cast
+from desta25_audio_tpu.ops.quant import quantize_llm_params
+
+
+def test_ngram_propose_matches_reference():
+    hist = jnp.asarray([
+        [5, 7, 9, 5, 7, 11, 3, 5, 7, 0, 0, 0],   # bigram (5,7) repeats
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12],  # no repeat
+        [4, 4, 4, 4, 4, 0, 0, 0, 0, 0, 0, 0],     # degenerate loop
+    ], jnp.int32)
+    hlen = jnp.asarray([9, 12, 5], jnp.int32)
+    got = np.asarray(ngram_propose(hist, hlen, 3))
+    # row 0: last bigram (5,7) at 7..8; most recent earlier match at 3..4
+    # -> continuation hist[5:8] = 11, 3, 5
+    assert got[0].tolist() == [11, 3, 5]
+    # row 1: no earlier match -> repeat last token
+    assert got[1].tolist() == [12, 12, 12]
+    # row 2: (4,4) at 3..4 matches at 2..3 (latest earlier) -> hist[4] = 4
+    # then past-history fallback to 4
+    assert got[2].tolist() == [4, 4, 4]
+
+
+def _nano_cfg():
+    return LLMConfig(
+        model_id="test/fused-nano", vocab_size=512, hidden_size=512,
+        intermediate_size=768, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=128, rms_norm_eps=1e-5,
+        rope_theta=10000.0, rope_scaling=None, tie_word_embeddings=False,
+        qk_norm=False, bos_token_id=0, eos_token_id=1)
+
+
+@pytest.mark.parametrize("kd", [2, 4])
+def test_spec_trajectory_equals_plain_greedy(kd, rng, monkeypatch):
+    """The speculative loop must emit EXACTLY the plain greedy trajectory
+    (acceptance compares drafts against the verify pass's own argmax)."""
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    cfg = _nano_cfg()
+    params = jllm.init_llm(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    qp = quantize_llm_params(tree_cast(params, jnp.bfloat16))
+    B, T, MAX_NEW = 2, 12, 24
+    ids = jnp.asarray(rng.integers(2, 500, size=(B, T)), jnp.int32)
+    embeds = qp["embed"][ids]
+    amask = jnp.ones((B, T), jnp.int32)
+    # no eos in range: the nano model never emits id 1 reliably; also run
+    # with eos to exercise the early-stop path
+    for eos_ids in ((), (int(np.asarray(ids)[0, 0]),)):
+        ref, ref_n = llm_generate(
+            qp, cfg, embeds, amask, jax.random.PRNGKey(0),
+            max_new_tokens=MAX_NEW, do_sample=False, eos_ids=eos_ids,
+            pad_id=0)
+        got, got_n = llm_generate_spec(
+            qp, cfg, embeds, amask, max_new_tokens=MAX_NEW,
+            eos_ids=eos_ids, pad_id=0, speculative_k=kd,
+            prompt_ids=ids, prompt_lens=jnp.full((B,), T, jnp.int32))
+        assert np.array_equal(np.asarray(ref_n), np.asarray(got_n)), (
+            eos_ids, np.asarray(ref), np.asarray(got))
+        r, g = np.asarray(ref), np.asarray(got)
+        for b in range(B):
+            n = int(np.asarray(ref_n)[b])
+            assert r[b, :n].tolist() == g[b, :n].tolist(), (eos_ids, b)
+
+
+def test_spec_accepts_multiple_tokens_on_repetitive_text(monkeypatch):
+    """On a context that the model continues repetitively, the loop should
+    finish in fewer verify steps than tokens (acceptance > 1/step)."""
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    cfg = _nano_cfg()
+    params = jllm.init_llm(jax.random.PRNGKey(9), cfg, dtype=jnp.float32)
+    qp = quantize_llm_params(tree_cast(params, jnp.bfloat16))
+    B, MAX_NEW = 1, 16
+    # random nano weights produce near-cyclic greedy continuations, which
+    # is exactly what the bigram drafter exploits; count steps via the
+    # probe counters exposed on the loop state
+    ids = jnp.asarray([[3, 9, 3, 9, 3, 9, 3, 9]], jnp.int32)
+    embeds = qp["embed"][ids]
+    amask = jnp.ones((B, ids.shape[1]), jnp.int32)
+    out, n, steps, accepted = llm_generate_spec(
+        qp, cfg, embeds, amask, max_new_tokens=MAX_NEW, eos_ids=(),
+        pad_id=0, speculative_k=4, prompt_ids=ids,
+        prompt_lens=jnp.full((B,), ids.shape[1], jnp.int32),
+        return_stats=True)
+    assert int(np.asarray(n)[0]) == MAX_NEW
+    # acceptance must beat 1 token/step on a cyclic continuation (exact
+    # trajectory equality vs the sequential loop is NOT asserted here:
+    # near-tie argmaxes may resolve differently between the in-register
+    # draft block and the streamed-cache path — see module docstring)
+    assert int(np.asarray(steps)) < MAX_NEW - 1, (
+        int(np.asarray(steps)), np.asarray(out))
+
+
+def test_generate_speculative_e2e(monkeypatch, tmp_path):
+    """model.generate(speculative_k=4) through the audio pipeline: output
+    must match plain greedy generate (int8 nano LLM, interpret kernels)."""
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    from desta25_audio_tpu import DeSTA25AudioModel, DeSTA25Config
+    from desta25_audio_tpu.audio.io import write_wav
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano128",
+        encoder_model_id="test/whisper-nano",
+        prompt_size=8, qformer_num_hidden_layers=2, dtype="bfloat16",
+        llm_quant="int8")
+    model = DeSTA25AudioModel(cfg, seed=0)
+    t = np.arange(12000) / 16000.0
+    sig = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "tone.wav")
+    write_wav(p, sig)
+    msgs = [{"role": "user", "content": "Describe: <|AUDIO|>",
+             "audios": [{"audio": p, "text": "a tone"}]}]
+    ref = model.generate(msgs, do_sample=False, max_new_tokens=10,
+                         speculative_k=0)
+    got = model.generate(msgs, do_sample=False, max_new_tokens=10,
+                         speculative_k=4)
+    assert got.text == ref.text, (got.text, ref.text)
+
+    # text-only path with prompt-id seeded lookup
+    tmsgs = [{"role": "user", "content": "hello hello hello hello"}]
+    ref_t = model.generate(tmsgs, do_sample=False, max_new_tokens=8,
+                           speculative_k=0)
+    got_t = model.generate(tmsgs, do_sample=False, max_new_tokens=8,
+                           speculative_k=4)
+    assert got_t.text == ref_t.text
