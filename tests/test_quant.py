@@ -140,3 +140,42 @@ def test_encoder_quant_config_wiring():
     out = m.generate(messages=[{"role": "user", "content": "hi"}],
                      max_new_tokens=4, do_sample=False)
     assert len(out.text) == 1
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("DESTA_TEST_TPU") != "1",
+    reason="TPU-only (DESTA_TEST_TPU=1): W8A8 prefill dispatch")
+def test_w8a8_prefill_close_on_tpu(rng, monkeypatch):
+    """DESTA_INT8_PREFILL=1 routes big-M quant matmuls through the
+    activation-quant int8 MXU path; prefill logits must stay close to
+    the weight-only bf16-dequant path."""
+    import os
+
+    from desta25_audio_tpu.config import LLMConfig
+    from desta25_audio_tpu.models import llm as jllm
+    from desta25_audio_tpu.ops.core import tree_cast
+    from desta25_audio_tpu.ops.quant import quantize_llm_params
+
+    cfg = LLMConfig(
+        model_id="test/w8a8-nano", vocab_size=512, hidden_size=512,
+        intermediate_size=768, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=128, rms_norm_eps=1e-5,
+        rope_theta=10000.0, rope_scaling=None, tie_word_embeddings=False,
+        qk_norm=False, bos_token_id=0, eos_token_id=1)
+    params = jllm.init_llm(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qp = quantize_llm_params(tree_cast(params, jnp.bfloat16))
+    B, T = 4, 96  # M = 384 > 256 -> the W8A8 branch engages
+    ids = jnp.asarray(rng.integers(2, 500, size=(B, T)), jnp.int32)
+
+    def prefill():
+        lg, _, _ = jllm.llm_apply(qp, cfg, input_ids=ids,
+                                  attention_mask=jnp.ones((B, T),
+                                                          jnp.int32))
+        return np.asarray(lg, np.float32)
+
+    monkeypatch.setenv("DESTA_INT8_PREFILL", "0")
+    ref = prefill()
+    monkeypatch.setenv("DESTA_INT8_PREFILL", "1")
+    got = prefill()
+    err = np.max(np.abs(ref - got)) / (np.abs(ref).max() + 1e-6)
+    assert err < 5e-2, err
