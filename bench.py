@@ -213,7 +213,9 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
 
             (tok, cache), _ = jax.lax.scan(body, (tok, cache),
                                            jnp.arange(STEPS))
-            return jnp.sum(tok)
+            # cache is returned (device-resident, never fetched) so the
+            # donated input buffer is actually usable for aliasing
+            return jnp.sum(tok), cache
 
         # donate the cache (it is re-made by prefill per timing rep) so
         # the fused kernel's aliased in-kernel writes stay in place
@@ -226,7 +228,7 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
         t0 = time.time()
         tok, cache = pf(lp)
         jax.block_until_ready(cache)
-        float(dec(lp, tok, cache))
+        float(dec(lp, tok, cache)[0])
         print(f"decode b{B} compile {time.time()-t0:.1f}s",
               file=sys.stderr)
         best = None
@@ -234,7 +236,7 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
             tok, cache = pf(lp)
             jax.block_until_ready(cache)
             t0 = time.time()
-            float(dec(lp, tok, cache))
+            float(dec(lp, tok, cache)[0])
             dt = time.time() - t0 - rtt
             best = dt if best is None else min(best, dt)
         decode_results[B] = B * STEPS / max(best, 1e-9)

@@ -261,6 +261,7 @@ def llm_apply(
     extra_aux_init=None,
     return_hidden: bool = False,
     remat: bool = False,
+    skip_head: bool = False,
 ):
     """Forward pass.
 
@@ -400,7 +401,10 @@ def llm_apply(
         x, extra_aux = out, None
 
     hidden = rms_norm(params["norm"], x, cfg.rms_norm_eps)
-    logits = _head_logits(params, cfg, hidden)
+    # skip_head: callers that consume hidden directly (e.g. the chunked
+    # training CE, which never materializes [B, T, V] logits) skip the
+    # full-sequence head matmul here.
+    logits = None if skip_head else _head_logits(params, cfg, hidden)
     if extra_aux_init is not None:
         return logits, new_cache, (hidden if return_hidden else None), \
             extra_aux

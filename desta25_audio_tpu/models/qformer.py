@@ -105,6 +105,11 @@ def bert_encoder_apply(params: Params, hidden: jnp.ndarray,
     """hidden: [B, K, D] queries; encoder_hidden: [B, T, D] cross source."""
     H = cfg.num_attention_heads
 
+    # remat: without it, scan AD stacks each layer's cross k/v (tap-shaped
+    # [B, T, D] bf16) as per-layer residuals — 6 x 2 x ~176 MB at flagship
+    # training scale (the single largest HBM temp before this fix).
+    # Identity for forward-only inference.
+    @jax.checkpoint
     def body(h, p):
         h = _bert_attn_apply(p["self"], h, h, H)
         h = _bert_attn_apply(p["cross"], h, encoder_hidden, H)

@@ -17,6 +17,8 @@ import functools
 import os
 from typing import Any, Dict
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -75,32 +77,32 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc):
                     ).astype(o_ref.dtype)
 
 
-def quant_matmul(x: jnp.ndarray, leaf: QuantLeaf,
-                 out_dtype=None) -> jnp.ndarray:
-    """x: [..., K] bf16/f32; leaf: int8 [K, N] + scale [N] -> [..., N]."""
-    orig_shape = x.shape
-    K = orig_shape[-1]
-    N = leaf["q"].shape[1]
-    M_total = 1
-    for d in orig_shape[:-1]:
-        M_total *= d
-    # The Pallas kernel keeps all M rows resident in VMEM — right for
-    # decode-sized M.  Prefill-sized M is compute-bound, so the dequant
-    # materialization cost amortizes; use the XLA path there (and on CPU).
-    if jax.default_backend() != "tpu" or M_total > 256:
-        if (jax.default_backend() == "tpu" and M_total > 256
+def _qmm_dispatch(x2: jnp.ndarray, q: jnp.ndarray,
+                  s: jnp.ndarray) -> jnp.ndarray:
+    """Core [M, K] x int8 [K, N] * s [N] -> [M, N] f32, by shape regime:
+    Pallas weight-streaming kernel at decode-sized M; XLA dequant dot (or
+    opt-in W8A8 int8 MXU) at prefill/training M."""
+    M, K = x2.shape
+    N = q.shape[1]
+    if jax.default_backend() != "tpu" or M > 256:
+        if (jax.default_backend() == "tpu" and M > 256
                 and os.environ.get("DESTA_INT8_PREFILL", "0") == "1"):
             # W8A8 prefill: per-row dynamic activation quant + int8 MXU
             # (~1.9x measured: 376 vs 192 TF/s at M=1536 K=4096 N=4096).
             # Opt-in — dynamic per-token act quant is near-lossless for
             # LLM prefill but is a numerics change vs weight-only int8.
-            return int8_act_matmul(x, leaf).astype(out_dtype or x.dtype)
-        y = jnp.dot(x, dequantize_weight(leaf, x.dtype),
-                    preferred_element_type=jnp.float32)
-        return y.astype(out_dtype or x.dtype)
+            xf = x2.astype(jnp.float32)
+            a = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                            1e-8) / 127.0
+            qx = jnp.round(xf / a).astype(jnp.int8)
+            y = jax.lax.dot_general(qx, q, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * a * s[None, :].astype(
+                jnp.float32)
+        return jnp.dot(x2, q.astype(jnp.bfloat16)
+                       * s[None, :].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
 
-    x2 = x.reshape(-1, K)
-    M = x2.shape[0]
     # pad M to the bf16 sublane multiple
     Mp = max(-(-M // 16) * 16, 16)
     if Mp != M:
@@ -127,7 +129,7 @@ def quant_matmul(x: jnp.ndarray, leaf: QuantLeaf,
 
     out = pl.pallas_call(
         _qmm_kernel,
-        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype or x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
         grid=(N // bn, K // bk),
         in_specs=[
             pl.BlockSpec((Mp, bk), lambda n, k: (0, k),
@@ -141,11 +143,53 @@ def quant_matmul(x: jnp.ndarray, leaf: QuantLeaf,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((Mp, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-    )(x2, leaf["q"], leaf["s"][None, :])
-    if Mp != M:
-        out = out[:M]
-    return out.reshape(*orig_shape[:-1], N)
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x2, q, s[None, :])
+    return out[:M] if Mp != M else out
+
+
+@jax.custom_vjp
+def _qmm_core(x2, q, s):
+    return _qmm_dispatch(x2, q, s)
+
+
+def _qmm_fwd(x2, q, s):
+    # zero-size sentinel carries x2's dtype (raw dtypes aren't JAX types)
+    return _qmm_dispatch(x2, q, s), (q, s, jnp.zeros((0,), x2.dtype))
+
+
+def _qmm_bwd(res, g):
+    """dx = g @ (q*s)^T computed as (g*s) @ q^T in bf16/f32-accum.
+
+    One rule covers every forward dispatch (Pallas kernel, dequant dot,
+    W8A8 act-quant — straight-through for the round()).  Quantized
+    weights are frozen by construction, so q (int8) gets a float0
+    cotangent and the scale gets zeros (training the scales is
+    unsupported)."""
+    q, s, xdt = res
+    gs = (g.astype(jnp.float32) * s[None, :].astype(jnp.float32)
+          ).astype(jnp.bfloat16)
+    dx = jnp.dot(gs, q.T.astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32).astype(xdt.dtype)
+    return dx, np.zeros(q.shape, jax.dtypes.float0), jnp.zeros_like(s)
+
+
+_qmm_core.defvjp(_qmm_fwd, _qmm_bwd)
+
+
+def quant_matmul(x: jnp.ndarray, leaf: QuantLeaf,
+                 out_dtype=None) -> jnp.ndarray:
+    """x: [..., K] bf16/f32; leaf: int8 [K, N] + scale [N] -> [..., N].
+
+    Differentiable w.r.t. ``x`` on every dispatch path (custom VJP —
+    required for training through frozen quantized towers, where
+    activation gradients flow but weight gradients don't)."""
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    N = leaf["q"].shape[1]
+    out = _qmm_core(x.reshape(-1, K), leaf["q"], leaf["s"])
+    return out.reshape(*orig_shape[:-1], N).astype(out_dtype or x.dtype)
 
 
 # ---------------------------------------------------------------------------

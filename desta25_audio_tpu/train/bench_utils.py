@@ -34,7 +34,7 @@ def flagship_config() -> DeSTA25Config:
 
 
 def build_flagship_train_setup(batch_size: int = 12, seq_len: int = 300,
-                               seed: int = 0):
+                               seed: int = 0, warmup_steps: int = 100):
     """Returns (cfg, step_fn, trainable, frozen, opt_state, batch)."""
     from ..models import llm as jllm
     from ..models import whisper as jw
@@ -68,7 +68,7 @@ def build_flagship_train_setup(batch_size: int = 12, seq_len: int = 300,
     frozen: Dict[str, Any] = {"llm": llm_p, "whisper": {"encoder": enc_p}}
 
     optimizer = make_optimizer(OptimizerConfig(
-        lr=1e-4, warmup_steps=100, total_steps=10_000))
+        lr=1e-4, warmup_steps=warmup_steps, total_steps=10_000))
     opt_state = optimizer.init(trainable)
     step = make_train_step(cfg, optimizer, remat=True)
     batch = synth_train_batch(cfg, batch_size, seq_len, seed=seed)

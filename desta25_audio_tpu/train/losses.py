@@ -37,6 +37,58 @@ def masked_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray
     return {"lm_loss": loss, "n_tokens": n, "ppl": jnp.exp(loss)}
 
 
+def masked_lm_loss_chunked(llm_params, llm_cfg, hidden: jnp.ndarray,
+                           labels: jnp.ndarray,
+                           chunk: int = 64) -> Dict[str, jnp.ndarray]:
+    """Same CE as :func:`masked_lm_loss` WITHOUT materializing the full
+    [B, T, V] logits.
+
+    At flagship training scale (B=12, T=300, V=128k) full f32 logits are
+    1.84 GB — plus their gradient — which alone overflows a 16 GB chip.
+    This variant scans the LM head + log-softmax over ``chunk``-token
+    slices of the (shifted) sequence under ``jax.checkpoint``: forward
+    and backward only ever hold one chunk's logits (~100-400 MB).  The
+    summed result is numerically the same loss (per-chunk partial sums).
+
+    hidden: [B, T, D] pre-logits (llm_apply(skip_head=True)); labels
+    [B, T] with -100 ignore positions.
+    """
+    from ..models.llm import _head_logits
+
+    hidden = hidden[:, :-1]
+    targets = labels[:, 1:]
+    B, T, D = hidden.shape
+    Tp = -(-T // chunk) * chunk
+    if Tp != T:
+        hidden = jnp.pad(hidden, ((0, 0), (0, Tp - T), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, Tp - T)),
+                          constant_values=IGNORE_INDEX)
+    n_chunks = Tp // chunk
+    hc = hidden.reshape(B, n_chunks, chunk, D).transpose(1, 0, 2, 3)
+    tc = targets.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def chunk_sums(h, t):
+        logits = _head_logits(llm_params, llm_cfg, h).astype(jnp.float32)
+        mask = t != IGNORE_INDEX
+        safe = jnp.where(mask, t, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tl = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return (jnp.sum(jnp.where(mask, tl, 0.0)),
+                jnp.sum(mask).astype(jnp.int32))
+
+    def body(carry, xs):
+        s, n = carry
+        ds, dn = chunk_sums(*xs)
+        return (s + ds, n + dn), None
+
+    (s, n), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.int32(0)), (hc, tc))
+    n = jnp.maximum(n, 1)
+    loss = -s / n
+    return {"lm_loss": loss, "n_tokens": n, "ppl": jnp.exp(loss)}
+
+
 def _normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + 1e-8)
 

@@ -29,7 +29,7 @@ from ..models import llm as jllm
 from ..models.perception import perception_apply
 from ..models.splice import apply_splice
 from .losses import (
-    masked_lm_loss,
+    masked_lm_loss_chunked,
     orca_aux_losses,
     qformer_aux_losses,
     total_loss_from_dict,
@@ -86,6 +86,9 @@ def _forward(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
             params["orca_cross_attns"], config, inject_tokens,
             trans_pos_mask=trans_pos_mask, training=training)
 
+    # skip_head + chunked CE: the full [B, T, 128k] f32 logits (plus
+    # their cotangent) alone overflow one 16 GB chip at flagship scale;
+    # the head + log-softmax run per sequence chunk instead.
     out = jllm.llm_apply(
         params["llm"], llm_cfg,
         inputs_embeds=inputs_embeds,
@@ -97,18 +100,20 @@ def _forward(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
         extra_layer_fn=extra_layer_fn,
         extra_aux_init=extra_aux_init,
         remat=remat,
+        return_hidden=True,
+        skip_head=True,
     )
     if extra_aux_init is not None:
-        logits, _, _, (align_sum, align_n) = out
+        _, _, hidden, (align_sum, align_n) = out
         # mean per-layer alignment loss; zeroed below when no transcription
         # positions were present (prompt-only training)
         align_losses = jnp.reshape(
             align_sum / jnp.maximum(align_n, 1.0), (1,))
         align_valid = align_n > 0
     else:
-        logits = out[0]
+        hidden = out[2]
         align_valid = None
-    d = masked_lm_loss(logits, labels)
+    d = masked_lm_loss_chunked(params["llm"], llm_cfg, hidden, labels)
     metrics = {"lm_loss": d["lm_loss"], "ppl": d["ppl"],
                "n_tokens": d["n_tokens"]}
 

@@ -69,21 +69,23 @@ def main():
 
             (tok, cache), _ = jax.lax.scan(body, (tok, cache),
                                            jnp.arange(STEPS))
-            return jnp.sum(tok)
+            # cache is returned (device-resident, never fetched) so the
+            # donated input buffer is actually usable for aliasing
+            return jnp.sum(tok), cache
 
         pf = jax.jit(prefill)
         dec = jax.jit(decode_scan, donate_argnums=(2,))
         t0 = time.time()
         tok, cache = pf(lp)
         jax.block_until_ready(cache)
-        float(dec(lp, tok, cache))
+        float(dec(lp, tok, cache)[0])
         print(f"b{B} compile+run {time.time()-t0:.1f}s", file=sys.stderr)
         best = None
         for _ in range(3):
             tok, cache = pf(lp)
             jax.block_until_ready(cache)
             t0 = time.time()
-            float(dec(lp, tok, cache))
+            float(dec(lp, tok, cache)[0])
             dt = time.time() - t0 - rtt
             best = dt if best is None else min(best, dt)
         ms = best / STEPS * 1e3

@@ -22,7 +22,8 @@ def test_flagship_train_step_on_tpu():
         build_flagship_train_setup,
     )
     cfg, step, trainable, frozen, opt_state, batch = \
-        build_flagship_train_setup(batch_size=4, seq_len=192)
+        build_flagship_train_setup(batch_size=4, seq_len=192,
+                                   warmup_steps=0)
     losses = []
     for _ in range(2):
         trainable, opt_state, metrics = step(trainable, frozen, opt_state,
