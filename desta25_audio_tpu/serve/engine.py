@@ -83,10 +83,11 @@ class ContinuousBatchingEngine:
                  ctx_bucket: int = 64, seed: int = 0,
                  steps_per_tick: int = 8, on_token=None):
         """n_slots=16 / steps_per_tick=8 defaults: measured on v5e-1 with
-        the fused int8 decode kernel + in-kernel per-row cache writes —
-        8 slots 654 tok/s, 16 slots 1121, 32 slots 1728 (K=8;
-        scripts/bench_serving_shaped.py).  ``on_token(rid, token_id)``
-        streams tokens as they are accepted host-side (once per tick)."""
+        the fused int8 decode kernel, in-kernel per-row cache writes and
+        the top-k candidate sampler — 8 slots 750 tok/s, 16 slots 1324,
+        32 slots 2368 (K=8; scripts/bench_serving_shaped.py).
+        ``on_token(rid, token_id)`` streams tokens as they are accepted
+        host-side (once per tick)."""
         self.model = model
         self.on_token = on_token
         self.cfg = model.llm_cfg
