@@ -99,9 +99,11 @@ def _qmm_dispatch(x2: jnp.ndarray, q: jnp.ndarray,
                                     preferred_element_type=jnp.int32)
             return y.astype(jnp.float32) * a * s[None, :].astype(
                 jnp.float32)
-        return jnp.dot(x2, q.astype(jnp.bfloat16)
-                       * s[None, :].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
+        # f32 dequant then one round to the activation dtype (matches
+        # dequantize_weight(leaf, x.dtype) — rounding s first shifts
+        # weights ~1 ulp and flips near-tie argmaxes)
+        w = (q.astype(jnp.float32) * s[None, :]).astype(x2.dtype)
+        return jnp.dot(x2, w, preferred_element_type=jnp.float32)
 
     # pad M to the bf16 sublane multiple
     Mp = max(-(-M // 16) * 16, 16)
