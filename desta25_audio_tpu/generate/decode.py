@@ -102,6 +102,15 @@ def sample_token_dynamic(logits: jnp.ndarray, key,
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
     sampled = _top_p_sample(scaled, key, top_p)
+    # rows asking for pure temperature sampling (top_p >= 1) get the
+    # exact full-vocab categorical via Gumbel-argmax — the candidate-set
+    # path would silently drop all mass beyond the top 256 tokens.  One
+    # extra argmax over [B, V]; no sort.
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(jax.random.fold_in(key, 1), scaled.shape,
+                           minval=1e-20, maxval=1.0)))
+    full = jnp.argmax(scaled + g, axis=-1).astype(jnp.int32)
+    sampled = jnp.where(jnp.asarray(top_p) >= 1.0, full, sampled)
     return jnp.where(do_sample, sampled, greedy)
 
 

@@ -321,12 +321,19 @@ class DeSTA25AudioModel:
         """Host phases A+B + device perception/splice for a batch of
         conversations — the serving engine's entry point.
 
-        Returns (inputs_embeds, attention_mask, inject_tokens) where
-        inject_tokens are the ORCA deep-injection audio tokens (None
-        unless the model is an ORCA checkpoint with deep injection and
-        the batch carries audio).  Text-only batches take the plain
-        chat-template embedding path (modeling_desta25.py:1686-1703)."""
-        prep = self._run_generation_phases(messages_list)
+        Returns (inputs_embeds, attention_mask, inject_tokens,
+        prompt_ids) where inject_tokens are the ORCA deep-injection audio
+        tokens (None unless the model is an ORCA checkpoint with deep
+        injection and the batch carries audio) and prompt_ids [B, T]
+        (host np.int32) are the context token ids with each audio's
+        TRANSCRIPTION ids substituted at its splice positions — the
+        n-gram history that lets speculative decoding win on
+        transcription echo (VERDICT r2 #2; audio-feature positions keep
+        the placeholder id, which never matches generated text).
+        Text-only batches take the plain chat-template embedding path
+        (modeling_desta25.py:1686-1703)."""
+        prep = self._run_generation_phases(messages_list,
+                                           return_prompt_ids=True)
         if prep is None:
             tk = self.tokenizer
             texts = tk.apply_chat_template(messages_list, tokenize=False,
@@ -334,13 +341,15 @@ class DeSTA25AudioModel:
             if isinstance(texts, str):
                 texts = [texts]
             enc = tk(texts, padding="longest", add_special_tokens=False)
-            input_ids = jnp.asarray(np.asarray(enc["input_ids"], np.int32))
+            ids_np = np.asarray(enc["input_ids"], np.int32)
+            input_ids = jnp.asarray(ids_np)
             attn_mask = jnp.asarray(
                 np.asarray(enc["attention_mask"], np.int32))
             embeds = jllm.embed_tokens(self.params["llm"], input_ids)
-            return embeds, attn_mask, None
-        embeds, attn_mask, aux, _audios, _trans = prep
-        return embeds, jnp.asarray(attn_mask), self._orca_inject_tokens(aux)
+            return embeds, attn_mask, None, ids_np
+        embeds, attn_mask, aux, _audios, _trans, prompt_ids = prep
+        return (embeds, jnp.asarray(attn_mask),
+                self._orca_inject_tokens(aux), prompt_ids)
 
     def _orca_inject_tokens(self, aux):
         """Deep-injection kv tokens from perception aux, or None when the
@@ -356,7 +365,8 @@ class DeSTA25AudioModel:
             return jnp.concatenate([audio_feats, local_tokens], axis=1)
         return local_tokens
 
-    def _run_generation_phases(self, messages_list):
+    def _run_generation_phases(self, messages_list,
+                               return_prompt_ids: bool = False):
         tk = self.tokenizer
         all_audios: List[str] = []
         all_transcriptions: List[Optional[str]] = []
@@ -457,6 +467,14 @@ class DeSTA25AudioModel:
             self.params, jnp.asarray(input_ids), mel,
             jnp.asarray(trans_ids), jnp.asarray(kind), jnp.asarray(aidx),
             jnp.asarray(pos))
+        if return_prompt_ids:
+            # transcription token ids substituted at their splice
+            # positions (kind==2) — the text the model is most likely to
+            # echo, and exactly what n-gram drafting feeds on
+            prompt_ids = np.where(kind == 2, trans_ids[aidx, pos],
+                                  input_ids).astype(np.int32)
+            return (embeds, attn_mask, aux, all_audios,
+                    all_transcriptions, prompt_ids)
         return embeds, attn_mask, aux, all_audios, all_transcriptions
 
     def _spec_eligible(self, speculative_k, do_sample, inject_kwargs,
@@ -476,12 +494,14 @@ class DeSTA25AudioModel:
                        max_new_tokens,
                        speculative_k: int = 0) -> GenerationOutput:
         tk = self.tokenizer
-        prep = self._run_generation_phases(messages_list)
+        prep = self._run_generation_phases(messages_list,
+                                           return_prompt_ids=True)
         if prep is None:
             return self._generate_text_only(
                 messages_list, temperature, top_p, do_sample,
                 max_new_tokens, speculative_k)
-        embeds, attn_mask, aux, all_audios, all_transcriptions = prep
+        (embeds, attn_mask, aux, all_audios, all_transcriptions,
+         prompt_ids) = prep
         self._gen_key, key = jax.random.split(self._gen_key)
         inject_kwargs = {}
         inject_tokens = self._orca_inject_tokens(aux)
@@ -495,12 +515,20 @@ class DeSTA25AudioModel:
                                embeds.shape[0], embeds.shape[1],
                                max_new_tokens):
             from ..generate.speculative import llm_generate_spec
+            # left-padded rows -> left-aligned history; transcription ids
+            # are already substituted at splice positions (prompt-lookup
+            # wins exactly on transcription echo — VERDICT r2 #2)
+            am = jnp.asarray(attn_mask)
+            lens = jnp.sum(am, axis=1).astype(jnp.int32)
+            Tp = prompt_ids.shape[1]
+            aligned = jax.vmap(lambda r, n: jnp.roll(r, n - Tp))(
+                jnp.asarray(prompt_ids), lens)
             tokens, n_gen = llm_generate_spec(
-                self.params["llm"], self.llm_cfg, embeds,
-                jnp.asarray(attn_mask),
+                self.params["llm"], self.llm_cfg, embeds, am,
                 max_new_tokens=max_new_tokens,
                 eos_ids=self._terminators(), pad_id=tk.pad_token_id,
-                speculative_k=speculative_k)
+                speculative_k=speculative_k,
+                prompt_ids=aligned, prompt_lens=lens)
         else:
             tokens, n_gen = llm_generate(
                 self.params["llm"], self.llm_cfg, embeds,

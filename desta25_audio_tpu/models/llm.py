@@ -118,7 +118,7 @@ def init_lora(key, cfg: LLMConfig, rank: int, dtype=jnp.float32) -> Params:
 
 
 def _head_logits(params: Params, cfg: LLMConfig,
-                 hidden: jnp.ndarray) -> jnp.ndarray:
+                 hidden: jnp.ndarray, w8a8: bool = True) -> jnp.ndarray:
     """Final-hidden -> vocab logits (tied / untied / quantized heads)."""
     head = params.get("lm_head")
     from ..ops.quant import is_quantized, quant_matmul
@@ -127,16 +127,16 @@ def _head_logits(params: Params, cfg: LLMConfig,
                           preferred_element_type=jnp.float32)
     if is_quantized(head):
         # quantized heads may be out-padded for kernel blocking
-        return quant_matmul(hidden, head,
-                            out_dtype=jnp.float32)[..., :cfg.vocab_size]
+        return quant_matmul(hidden, head, out_dtype=jnp.float32,
+                            w8a8=w8a8)[..., :cfg.vocab_size]
     return jnp.einsum("btd,dv->btv", hidden, head,
                       preferred_element_type=jnp.float32)
 
 
-def _proj(x, w):
+def _proj(x, w, w8a8: bool = True):
     from ..ops.quant import is_quantized, quant_matmul
     if is_quantized(w):
-        return quant_matmul(x, w)
+        return quant_matmul(x, w, w8a8=w8a8)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -158,13 +158,14 @@ def _lora_delta(x, lp, scale: float, dropout: float = 0.0, key=None):
 def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
                layer_cache=None, cache_index=None, lora=None,
                lora_scale: float = 1.0, lora_dropout: float = 0.0,
-               lora_key=None, flash_attention_mask=None):
+               lora_key=None, flash_attention_mask=None,
+               w8a8: bool = True):
     B, T, D = x.shape
     H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
-    q = _proj(x, p["wq"])
-    k = _proj(x, p["wk"])
-    v = _proj(x, p["wv"])
+    q = _proj(x, p["wq"], w8a8)
+    k = _proj(x, p["wk"], w8a8)
+    v = _proj(x, p["wv"], w8a8)
     if lora is not None:
         # independent dropout masks per adapter (peft has one nn.Dropout
         # instance per wrapped Linear)
@@ -232,15 +233,15 @@ def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
         out = out.reshape(B, T, H, Dh)
     out = shard_activation(out, ("data", None, "model", None))
     out = out.reshape(B, T, H * Dh)
-    return _proj(out, p["wo"]), new_cache
+    return _proj(out, p["wo"], w8a8), new_cache
 
 
-def _mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    g = _proj(x, p["w_gate"])
-    u = _proj(x, p["w_up"])
+def _mlp(p: Params, x: jnp.ndarray, w8a8: bool = True) -> jnp.ndarray:
+    g = _proj(x, p["w_gate"], w8a8)
+    u = _proj(x, p["w_up"], w8a8)
     h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
     h = shard_activation(h, ("data", None, "model"))
-    return _proj(h, p["w_down"])
+    return _proj(h, p["w_down"], w8a8)
 
 
 def llm_apply(
@@ -262,6 +263,7 @@ def llm_apply(
     return_hidden: bool = False,
     remat: bool = False,
     skip_head: bool = False,
+    w8a8: bool = True,
 ):
     """Forward pass.
 
@@ -354,9 +356,10 @@ def llm_apply(
         attn_out, new_lc = _attention(
             p, rms_norm(p["ln1"], h, cfg.rms_norm_eps), cos, sin, mask, cfg,
             layer_cache, cache_index, lp, lora_scale, lora_dropout, lkey,
-            flash_attention_mask=(None if cache is not None else flash_mask))
+            flash_attention_mask=(None if cache is not None else flash_mask),
+            w8a8=w8a8)
         h = h + attn_out
-        h = h + _mlp(p, rms_norm(p["ln2"], h, cfg.rms_norm_eps))
+        h = h + _mlp(p, rms_norm(p["ln2"], h, cfg.rms_norm_eps), w8a8)
         if extra_layer_fn is not None:
             if extra_aux_init is not None:
                 h, aux = extra_layer_fn(idx, h, aux)
@@ -404,7 +407,7 @@ def llm_apply(
     # skip_head: callers that consume hidden directly (e.g. the chunked
     # training CE, which never materializes [B, T, V] logits) skip the
     # full-sequence head matmul here.
-    logits = None if skip_head else _head_logits(params, cfg, hidden)
+    logits = None if skip_head else _head_logits(params, cfg, hidden, w8a8)
     if extra_aux_init is not None:
         return logits, new_cache, (hidden if return_hidden else None), \
             extra_aux

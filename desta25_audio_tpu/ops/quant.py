@@ -77,20 +77,36 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc):
                     ).astype(o_ref.dtype)
 
 
+def w8a8_default(allow: bool) -> bool:
+    """Resolve the W8A8 big-M dispatch: the caller's static choice,
+    overridable by env DESTA_INT8_PREFILL ("0" forces off, "1" forces
+    on).  NB: read at TRACE time — like DESTA_FUSED_DECODE, the env var
+    must be set before the first jit trace of a caller; flipping it later
+    silently keeps the old dispatch via the jit cache.  Prefer the
+    ``w8a8=`` argument on quant_matmul / llm_apply."""
+    env = os.environ.get("DESTA_INT8_PREFILL")
+    if env is not None:
+        return env == "1"
+    return allow
+
+
 def _qmm_dispatch(x2: jnp.ndarray, q: jnp.ndarray,
-                  s: jnp.ndarray) -> jnp.ndarray:
+                  s: jnp.ndarray, w8a8: bool) -> jnp.ndarray:
     """Core [M, K] x int8 [K, N] * s [N] -> [M, N] f32, by shape regime:
-    Pallas weight-streaming kernel at decode-sized M; XLA dequant dot (or
-    opt-in W8A8 int8 MXU) at prefill/training M."""
+    Pallas weight-streaming kernel at decode-sized M; W8A8 int8 MXU
+    (default for inference prefill; see ``w8a8_default``) or XLA dequant
+    dot at prefill/training M."""
     M, K = x2.shape
     N = q.shape[1]
     if jax.default_backend() != "tpu" or M > 256:
         if (jax.default_backend() == "tpu" and M > 256
-                and os.environ.get("DESTA_INT8_PREFILL", "0") == "1"):
+                and w8a8_default(w8a8)):
             # W8A8 prefill: per-row dynamic activation quant + int8 MXU
             # (~1.9x measured: 376 vs 192 TF/s at M=1536 K=4096 N=4096).
-            # Opt-in — dynamic per-token act quant is near-lossless for
-            # LLM prefill but is a numerics change vs weight-only int8.
+            # Default for inference prefill (TPU-gated closeness tests
+            # guard it); training passes w8a8=False — act-quant noise in
+            # the frozen-tower forward would perturb the connector's
+            # learning signal for no training-speed reason to.
             xf = x2.astype(jnp.float32)
             a = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
                             1e-8) / 127.0
@@ -151,24 +167,27 @@ def _qmm_dispatch(x2: jnp.ndarray, q: jnp.ndarray,
     return out[:M] if Mp != M else out
 
 
-@jax.custom_vjp
-def _qmm_core(x2, q, s):
-    return _qmm_dispatch(x2, q, s)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _qmm_core(x2, q, s, w8a8):
+    return _qmm_dispatch(x2, q, s, w8a8)
 
 
-def _qmm_fwd(x2, q, s):
+def _qmm_fwd(x2, q, s, w8a8):
     # zero-size sentinel carries x2's dtype (raw dtypes aren't JAX types)
-    return _qmm_dispatch(x2, q, s), (q, s, jnp.zeros((0,), x2.dtype))
+    return _qmm_dispatch(x2, q, s, w8a8), (q, s, jnp.zeros((0,), x2.dtype))
 
 
-def _qmm_bwd(res, g):
+def _qmm_bwd(w8a8, res, g):
     """dx = g @ (q*s)^T computed as (g*s) @ q^T in bf16/f32-accum.
 
     One rule covers every forward dispatch (Pallas kernel, dequant dot,
     W8A8 act-quant — straight-through for the round()).  Quantized
     weights are frozen by construction, so q (int8) gets a float0
     cotangent and the scale gets zeros (training the scales is
-    unsupported)."""
+    unsupported).  The backward dot runs the MXU in bf16 even for f32
+    cotangents — intentional: dx flows through a tower that was itself
+    int8-rounded in the forward, so bf16 mantissa loss is far below the
+    quantization noise floor, and an f32 dot would be ~8x slower."""
     q, s, xdt = res
     gs = (g.astype(jnp.float32) * s[None, :].astype(jnp.float32)
           ).astype(jnp.bfloat16)
@@ -181,16 +200,21 @@ _qmm_core.defvjp(_qmm_fwd, _qmm_bwd)
 
 
 def quant_matmul(x: jnp.ndarray, leaf: QuantLeaf,
-                 out_dtype=None) -> jnp.ndarray:
+                 out_dtype=None, w8a8: bool = True) -> jnp.ndarray:
     """x: [..., K] bf16/f32; leaf: int8 [K, N] + scale [N] -> [..., N].
 
     Differentiable w.r.t. ``x`` on every dispatch path (custom VJP —
     required for training through frozen quantized towers, where
-    activation gradients flow but weight gradients don't)."""
+    activation gradients flow but weight gradients don't).
+
+    w8a8: allow the big-M (>256 rows) dispatch to use per-row dynamic
+    activation quant + the int8 MXU (~1.9x prefill).  Default on;
+    training passes False to keep the weight-only bf16-dequant forward.
+    Env DESTA_INT8_PREFILL=0/1 force-overrides (see ``w8a8_default``)."""
     orig_shape = x.shape
     K = orig_shape[-1]
     N = leaf["q"].shape[1]
-    out = _qmm_core(x.reshape(-1, K), leaf["q"], leaf["s"])
+    out = _qmm_core(x.reshape(-1, K), leaf["q"], leaf["s"], bool(w8a8))
     return out.reshape(*orig_shape[:-1], N).astype(out_dtype or x.dtype)
 
 

@@ -69,7 +69,8 @@ def masked_lm_loss_chunked(llm_params, llm_cfg, hidden: jnp.ndarray,
 
     @jax.checkpoint
     def chunk_sums(h, t):
-        logits = _head_logits(llm_params, llm_cfg, h).astype(jnp.float32)
+        logits = _head_logits(llm_params, llm_cfg, h,
+                              w8a8=False).astype(jnp.float32)
         mask = t != IGNORE_INDEX
         safe = jnp.where(mask, t, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)

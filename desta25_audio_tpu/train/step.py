@@ -102,6 +102,11 @@ def _forward(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
         remat=remat,
         return_hidden=True,
         skip_head=True,
+        # training keeps the weight-only bf16-dequant forward: W8A8
+        # act-quant noise in the frozen tower would perturb the
+        # connector's learning signal with no training-speed upside
+        # worth that risk (quant.py w8a8_default)
+        w8a8=False,
     )
     if extra_aux_init is not None:
         _, _, hidden, (align_sum, align_n) = out
