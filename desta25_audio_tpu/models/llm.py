@@ -48,7 +48,23 @@ def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.num_hidden_layers, batch, max_len,
              cfg.num_key_value_heads * cfg.head_dim)
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    k = jnp.zeros(shape, dtype)
+    v = jnp.zeros(shape, dtype)
+    # under a mesh the packed head axis shards over "model" (matches the
+    # wk/wv output sharding, so cached k/v land where they're produced);
+    # no-op without a mesh
+    if shape[3] % _model_axis_or_1() == 0:
+        k = shard_activation(k, (None, None, None, "model"))
+        v = shard_activation(v, (None, None, None, "model"))
+    return KVCache(k, v)
+
+
+def _model_axis_or_1() -> int:
+    from ..parallel.mesh import current_mesh
+    mesh = current_mesh()
+    if mesh is None or "model" not in mesh.axis_names:
+        return 1
+    return mesh.shape["model"]
 
 
 # ---------------------------------------------------------------------------
@@ -325,12 +341,25 @@ def llm_apply(
     if (cache is not None and T == 1 and lora is None
             and extra_layer_fn is None and not return_hidden):
         from ..ops.fused_decode import fused_decode_layers, fused_supported
+        from ..ops.fused_decode_tp import (
+            fused_decode_layers_tp,
+            fused_tp_supported,
+        )
         if fused_supported(params, cfg, cache):
-            hidden_pre, new_cache = fused_decode_layers(
+            fused_fn = fused_decode_layers
+        elif fused_tp_supported(params, cfg, cache):
+            # tensor-parallel per-layer kernel pair under shard_map
+            # (ops/fused_decode_tp.py) — multi-chip decode keeps a fused
+            # fast path instead of falling back to per-projection XLA
+            fused_fn = fused_decode_layers_tp
+        else:
+            fused_fn = None
+        if fused_fn is not None:
+            hidden_pre, new_cache = fused_fn(
                 params, cfg, x, attention_mask, positions, cache,
                 cache_index)
             hidden = rms_norm(params["norm"], hidden_pre, cfg.rms_norm_eps)
-            logits = _head_logits(params, cfg, hidden)
+            logits = _head_logits(params, cfg, hidden, w8a8)
             if extra_aux_init is not None:
                 return logits, new_cache, None, extra_aux_init
             return logits, new_cache, None

@@ -98,7 +98,14 @@ def _qmm_dispatch(x2: jnp.ndarray, q: jnp.ndarray,
     dot at prefill/training M."""
     M, K = x2.shape
     N = q.shape[1]
-    if jax.default_backend() != "tpu" or M > 256:
+    from ..parallel.mesh import current_mesh
+    under_mesh = current_mesh() is not None
+    # Under a mesh, GSPMD cannot partition the Pallas custom call — it
+    # would all-gather the weight shards (worse than useless).  Take the
+    # XLA branches, which partition cleanly along the q/s sharding; the
+    # TP decode hot path bypasses this entirely via
+    # ops/fused_decode_tp's shard_map kernels.
+    if jax.default_backend() != "tpu" or M > 256 or under_mesh:
         if (jax.default_backend() == "tpu" and M > 256
                 and w8a8_default(w8a8)):
             # W8A8 prefill: per-row dynamic activation quant + int8 MXU

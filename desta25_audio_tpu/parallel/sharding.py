@@ -55,6 +55,25 @@ _LLM_RULES = [
     ("layers/w_gate", P(None, None, "model")),
     ("layers/w_up", P(None, None, "model")),
     ("layers/w_down", P(None, "model", None)),
+    # int8-quantized leaves ({"q": [L, K, N], "s": [L, N]} per
+    # ops/quant.py): q shards like its bf16 counterpart; per-out-channel
+    # scales follow the out dim (replicated for in-dim-sharded wo/w_down)
+    ("layers/wq/q", P(None, None, "model")),
+    ("layers/wk/q", P(None, None, "model")),
+    ("layers/wv/q", P(None, None, "model")),
+    ("layers/wo/q", P(None, "model", None)),
+    ("layers/w_gate/q", P(None, None, "model")),
+    ("layers/w_up/q", P(None, None, "model")),
+    ("layers/w_down/q", P(None, "model", None)),
+    ("layers/wq/s", P(None, "model")),
+    ("layers/wk/s", P(None, "model")),
+    ("layers/wv/s", P(None, "model")),
+    ("layers/wo/s", P(None, None)),
+    ("layers/w_gate/s", P(None, "model")),
+    ("layers/w_up/s", P(None, "model")),
+    ("layers/w_down/s", P(None, None)),
+    ("lm_head/q", P(None, "model")),
+    ("lm_head/s", P("model",)),
     ("embed", P("model", None)),
     ("lm_head", P(None, "model")),
 ]

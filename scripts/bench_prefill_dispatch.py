@@ -54,7 +54,7 @@ def main():
     print(f"int8 weight bytes/layer {bytes_per_layer/2**20:.0f} MiB; "
           f"x{L} layers = {L*bytes_per_layer/2**30:.2f} GiB")
 
-    for M in (32, 64, 128, 256, 512):
+    for M in (128, 256):
         for mode, fn in (
             ("pallas-stream", lambda x, lf: _qmm_dispatch(
                 x, lf["q"], lf["s"], False) if x.shape[0] <= 256 else None),
