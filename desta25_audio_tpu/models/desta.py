@@ -224,7 +224,10 @@ class DeSTA25AudioModel:
         text_embeds = jllm.embed_tokens(params["llm"], input_ids)
         if mel is None:
             return text_embeds, None
-        audio_feats, local_tokens = perception_apply(params, mel, self.config)
+        # inference path: dynamic-int8 connector K/V projections on TPU
+        # (near-lossless per-row act quant; TPU-gated closeness test)
+        audio_feats, local_tokens = perception_apply(params, mel,
+                                                     self.config, w8a8=True)
         trans_embeds = jax.lax.stop_gradient(
             jllm.embed_tokens(params["llm"], trans_ids))
         embeds = apply_splice(text_embeds, audio_feats, trans_embeds,

@@ -68,7 +68,21 @@ def init_bert_encoder(key, cfg: QFormerConfig, dtype=jnp.float32) -> Params:
         [_init_bert_layer(k, cfg, dtype) for k in keys])}
 
 
-def _bert_attn_apply(p: Params, q_in, kv_in, n_heads: int) -> jnp.ndarray:
+def _kv_linear(p, kv_in, w8a8: bool):
+    """Cross K/V projection: the connector's dominant cost (2 x 6L at
+    M = n_taps*B*T_enc rows — 10.6 of 16.8 ms at b8, perf doc).  With
+    ``w8a8`` (inference only) it takes the dynamic-int8 MXU path."""
+    from ..ops.core import dyn_int8_linear
+    rows = 1
+    for d in kv_in.shape[:-1]:
+        rows *= d
+    if w8a8 and jax.default_backend() == "tpu" and rows >= 4096:
+        return dyn_int8_linear(p, kv_in)
+    return linear(p, kv_in)
+
+
+def _bert_attn_apply(p: Params, q_in, kv_in, n_heads: int,
+                     w8a8: bool = False) -> jnp.ndarray:
     B, T, D = q_in.shape
     if _use_packed(n_heads, D, kv_in.shape[1]):
         # Cross-attention over long encoder kv: the packed Pallas kernel
@@ -77,14 +91,16 @@ def _bert_attn_apply(p: Params, q_in, kv_in, n_heads: int) -> jnp.ndarray:
         # on v5e at B8 x 4 taps, scripts/profile_qformer.py).
         from ..ops.enc_attention import packed_encoder_attention
         q = linear(p["q"], q_in)
-        k = linear(p["k"], kv_in)
-        v = linear(p["v"], kv_in)
+        k = _kv_linear(p["k"], kv_in, w8a8)
+        v = _kv_linear(p["v"], kv_in, w8a8)
         out = packed_encoder_attention(q, k, v, n_heads)
     else:
         dh = D // n_heads
         q = linear(p["q"], q_in).reshape(B, T, n_heads, dh)
-        k = linear(p["k"], kv_in).reshape(B, kv_in.shape[1], n_heads, dh)
-        v = linear(p["v"], kv_in).reshape(B, kv_in.shape[1], n_heads, dh)
+        k = _kv_linear(p["k"], kv_in, w8a8).reshape(B, kv_in.shape[1],
+                                                    n_heads, dh)
+        v = _kv_linear(p["v"], kv_in, w8a8).reshape(B, kv_in.shape[1],
+                                                    n_heads, dh)
         out = mha(q, k, v).reshape(B, T, D)
     out = linear(p["o"], out)
     return layer_norm(p["ln"], out + q_in, _BERT_EPS)
@@ -101,8 +117,12 @@ def _use_packed(n_heads: int, d: int, t_kv: int) -> bool:
 
 def bert_encoder_apply(params: Params, hidden: jnp.ndarray,
                        encoder_hidden: jnp.ndarray,
-                       cfg: QFormerConfig) -> jnp.ndarray:
-    """hidden: [B, K, D] queries; encoder_hidden: [B, T, D] cross source."""
+                       cfg: QFormerConfig, w8a8: bool = False) -> jnp.ndarray:
+    """hidden: [B, K, D] queries; encoder_hidden: [B, T, D] cross source.
+
+    w8a8 (inference only — see :func:`_kv_linear`): dynamic-int8 cross
+    K/V projections; training callers must leave it False (round() has
+    zero gradient)."""
     H = cfg.num_attention_heads
 
     # remat: without it, scan AD stacks each layer's cross k/v (tap-shaped
@@ -112,7 +132,7 @@ def bert_encoder_apply(params: Params, hidden: jnp.ndarray,
     @jax.checkpoint
     def body(h, p):
         h = _bert_attn_apply(p["self"], h, h, H)
-        h = _bert_attn_apply(p["cross"], h, encoder_hidden, H)
+        h = _bert_attn_apply(p["cross"], h, encoder_hidden, H, w8a8)
         inter = gelu(linear(p["inter"], h))
         out = linear(p["out"], inter)
         h = layer_norm(p["out_ln"], out + h, _BERT_EPS)
@@ -146,16 +166,19 @@ def init_qformer_connector(key, cfg: DeSTA25Config,
 
 
 def qformer_connector_apply(params: Params, taps: jnp.ndarray,
-                            cfg: DeSTA25Config) -> jnp.ndarray:
+                            cfg: DeSTA25Config,
+                            w8a8: bool = False) -> jnp.ndarray:
     """taps: [n_taps, B, T_enc, d_enc] tapped encoder layer outputs.
-    Returns audio tokens [B, prompt_size, d_llm]."""
+    Returns audio tokens [B, prompt_size, d_llm].  w8a8: inference-only
+    dynamic-int8 cross K/V projections (TPU big-M); keep False when
+    training."""
     qcfg = cfg.qformer_config
     n_taps, B = taps.shape[0], taps.shape[1]
 
     def one_tap(prompt, enc_h):
         queries = jnp.broadcast_to(prompt[None], (B,) + prompt.shape)
         return bert_encoder_apply(params["qformer"], queries.astype(enc_h.dtype),
-                                  enc_h, qcfg)
+                                  enc_h, qcfg, w8a8=w8a8)
 
     outs = jax.vmap(one_tap)(params["layer_prompts"], taps)
     # [n_taps, B, K, d_enc] -> weighted sum over taps with per-query softmax

@@ -74,6 +74,34 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+def dyn_int8_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Fully-dynamic W8A8 linear: quantize BOTH operands on the fly
+    (per-out-channel weight scales, per-row activation scales) and run
+    the int8 MXU (~2x bf16 on v5e).
+
+    For compute-bound big-M matmuls over bf16 weights that stay
+    trainable (so offline weight quantization is off the table) — e.g.
+    the Q-Former's cross K/V projections at M = n_taps*B*T_enc ~ 48k
+    rows (VERDICT r2 #4).  The weight quant pass is O(K*N) — negligible
+    next to the O(M*K*N) dot.  INFERENCE ONLY: jnp.round has a zero
+    gradient, so callers must keep training paths on :func:`linear`
+    (the same rule as ops.quant's W8A8 prefill dispatch)."""
+    w = p["w"].astype(jnp.float32)
+    ws = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+    qw = jnp.round(w / ws[None, :]).astype(jnp.int8)
+    K = x.shape[-1]
+    xf = x.reshape(-1, K).astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                     1e-8) / 127.0
+    qx = jnp.round(xf / xs).astype(jnp.int8)
+    y = jax.lax.dot_general(qx, qw, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * xs * ws[None, :]
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.reshape(*x.shape[:-1], qw.shape[1]).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Norms
 # ---------------------------------------------------------------------------

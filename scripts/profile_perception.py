@@ -135,16 +135,32 @@ def main():
                 cp, taps + eps.astype(taps.dtype), cfg)
             return jnp.sum(feats.astype(jnp.float32))
 
+        def qf_w8a8(cp, taps, eps):
+            feats = qformer_connector_apply(
+                cp, taps + eps.astype(taps.dtype), cfg, w8a8=True)
+            return jnp.sum(feats.astype(jnp.float32))
+
+        def full_w8a8(ep, cp, audio, eps):
+            mel = log_mel_pallas(audio + eps, enc_cfg.num_mel_bins,
+                                 interpret=not on_tpu).astype(jnp.bfloat16)
+            _, taps = jw.whisper_encoder_apply(ep, mel, enc_cfg,
+                                               cfg.target_layer_ids)
+            feats = qformer_connector_apply(cp, taps, cfg, w8a8=True)
+            return jnp.sum(feats.astype(jnp.float32))
+
         _, taps0 = jax.jit(lambda ep, m: jw.whisper_encoder_apply(
             ep, m, enc_cfg, cfg.target_layer_ids))(enc_params, mel0)
         taps0 = jax.block_until_ready(taps0)
 
         rows = {}
         rows["full"] = timed(full, enc_params, conn_params, audio)
+        rows["full-w8a8"] = timed(full_w8a8, enc_params, conn_params,
+                                  audio)
         rows["mel"] = timed(mel_only, audio)
         rows["enc+taps"] = timed(enc_taps, enc_params, mel0)
         rows["enc-notaps"] = timed(enc_notaps, enc_params, mel0)
         rows["qformer"] = timed(qf_only, conn_params, taps0)
+        rows["qformer-w8a8"] = timed(qf_w8a8, conn_params, taps0)
 
         print(f"\n=== B={B} ===")
         for name, (per, flops, bytes_, cs) in rows.items():

@@ -108,3 +108,54 @@ def test_connector_mixed_precision(nano_cfg, rng):
         (n_taps, 1, 30, cfg.encoder_config.d_model)).astype(np.float32))
     out = q.qformer_connector_apply(params, taps.astype(jnp.bfloat16), cfg)
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+
+
+def test_dyn_int8_linear_close(rng):
+    """dyn_int8_linear (fully-dynamic W8A8) vs the bf16 linear: per-row
+    act + per-channel weight quant keeps relative error in the ~1%
+    range (runs the int8 dot on CPU too — slow but exact semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from desta25_audio_tpu.ops.core import dyn_int8_linear, init_linear, linear
+    p = init_linear(jax.random.PRNGKey(0), 128, 96, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 128), jnp.float32)
+    ref = np.asarray(linear(p, x))
+    got = np.asarray(dyn_int8_linear(p, x))
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.03, err
+
+
+@__import__("pytest").mark.skipif(
+    __import__("os").environ.get("DESTA_TEST_TPU") != "1",
+    reason="TPU-only (DESTA_TEST_TPU=1): connector W8A8 dispatch")
+def test_qformer_w8a8_close_on_tpu():
+    """The inference connector path (w8a8=True, engaged on TPU at
+    M >= 4096 rows) must stay close to the bf16 path at flagship-ish
+    shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models.qformer import (
+        init_qformer_connector,
+        qformer_connector_apply,
+    )
+    cfg = DeSTA25Config(llm_model_id="test/llama-nano",
+                        encoder_model_id="test/whisper-nano",
+                        prompt_size=8, qformer_num_hidden_layers=2)
+    n_taps = len(cfg.target_layer_ids)
+    d_enc = cfg.encoder_config.d_model
+    params = init_qformer_connector(jax.random.PRNGKey(0), cfg,
+                                    dtype=jnp.bfloat16)
+    # big enough T_enc that rows = B*T >= 4096 engages the int8 path
+    taps = jax.random.normal(jax.random.PRNGKey(1),
+                             (n_taps, 2, 2048, d_enc), jnp.bfloat16)
+    ref = np.asarray(qformer_connector_apply(params, taps, cfg,
+                                             w8a8=False), np.float32)
+    got = np.asarray(qformer_connector_apply(params, taps, cfg,
+                                             w8a8=True), np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert err < 5e-2, err
