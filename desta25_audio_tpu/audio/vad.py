@@ -9,6 +9,16 @@ Offline default here is an energy+spectral VAD with hangover smoothing; if
 a silero ONNX model is available (``DESTA_SILERO_ONNX`` env or explicit
 path) and onnxruntime is importable, it is used instead.  VAD gates host
 control flow, not device math, so it stays off the TPU.
+
+Failure economics (why the heuristic is deliberately RECALL-biased, and
+tested so on the reference's real clips — tests/test_vad_real_clips.py):
+a false "speech" label costs one wasted ASR pass whose junk transcript
+the LLM ignores; a false "non-speech" label silently replaces a real
+transcription with " " (modeling_desta25.py:1567-1568) — data
+corruption.  Real silero validation remains env-blocked here (no
+network, no onnxruntime, no cached export); when deploying with real
+weights, set DESTA_SILERO_ONNX and the SileroOnnxVAD streaming loop
+below takes over with reference-matching 512-sample frames.
 """
 
 from __future__ import annotations
