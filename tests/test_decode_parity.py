@@ -182,3 +182,35 @@ def test_model_asr_fallback_end_to_end(tmp_path):
         max_new_tokens=4, do_sample=False)
     assert len(out.text) == 1 and isinstance(out.text[0], str)
     assert out.audios[0][1] is not None  # a transcription was produced
+
+
+def test_dynamic_sampler_top_p_one_covers_full_vocab():
+    """ADVICE r2 #1: rows with top_p >= 1 must sample from the FULL
+    vocab (exact Gumbel-argmax), not the 256-candidate set."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from desta25_audio_tpu.generate.decode import sample_token_dynamic
+    V = 512
+    B = 64
+    logits = jnp.zeros((B, V), jnp.float32)  # uniform distribution
+    seen = set()
+    for i in range(8):
+        toks = sample_token_dynamic(
+            logits, jax.random.PRNGKey(i),
+            jnp.full((B,), 1.0, jnp.float32),
+            jnp.full((B,), 1.0, jnp.float32),   # top_p = 1.0
+            jnp.ones((B,), bool))
+        seen.update(np.asarray(toks).tolist())
+    # under uniform sampling of 512 draws over V=512, tokens beyond the
+    # top-256 candidate set appear with overwhelming probability
+    assert any(t >= 256 for t in seen), sorted(seen)[:10]
+    # nucleus rows still restrict: top_p=0.01 on a peaked distribution
+    peaked = jnp.zeros((B, V), jnp.float32).at[:, 7].set(50.0)
+    toks = sample_token_dynamic(
+        peaked, jax.random.PRNGKey(0),
+        jnp.full((B,), 1.0, jnp.float32),
+        jnp.full((B,), 0.5, jnp.float32),
+        jnp.ones((B,), bool))
+    assert np.all(np.asarray(toks) == 7)
