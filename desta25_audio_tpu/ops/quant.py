@@ -100,14 +100,20 @@ def _qmm_dispatch(x2: jnp.ndarray, q: jnp.ndarray,
     N = q.shape[1]
     from ..parallel.mesh import current_mesh
     under_mesh = current_mesh() is not None
+    # W8A8 crossover (measured, scripts/bench_prefill_dispatch.py, 8B
+    # layer dims): M=32 tie (both ~645 GiB/s weight stream), M=128 w8a8
+    # 10.85 vs pallas 11.53 ms/32L, M=256 13.5 vs 22.1.  The Pallas
+    # weight streamer stays for decode-sized M (< 128).
+    use_w8a8 = (jax.default_backend() == "tpu" and M >= 128
+                and w8a8_default(w8a8))
     # Under a mesh, GSPMD cannot partition the Pallas custom call — it
     # would all-gather the weight shards (worse than useless).  Take the
     # XLA branches, which partition cleanly along the q/s sharding; the
     # TP decode hot path bypasses this entirely via
     # ops/fused_decode_tp's shard_map kernels.
-    if jax.default_backend() != "tpu" or M > 256 or under_mesh:
-        if (jax.default_backend() == "tpu" and M > 256
-                and w8a8_default(w8a8)):
+    if (jax.default_backend() != "tpu" or M > 256 or under_mesh
+            or use_w8a8):
+        if use_w8a8:
             # W8A8 prefill: per-row dynamic activation quant + int8 MXU
             # (~1.9x measured: 376 vs 192 TF/s at M=1536 K=4096 N=4096).
             # Default for inference prefill (TPU-gated closeness tests
