@@ -224,10 +224,15 @@ class DeSTA25AudioModel:
         text_embeds = jllm.embed_tokens(params["llm"], input_ids)
         if mel is None:
             return text_embeds, None
-        # inference path: dynamic-int8 connector K/V projections on TPU
-        # (near-lossless per-row act quant; TPU-gated closeness test)
+        # MEASURED-WORSE on v5e (scripts/profile_perception.py, b8 x 4
+        # taps): dynamic-int8 connector K/V projections lose end-to-end
+        # (qformer 20.3 vs 16.9 ms; full perception 171.6 vs 167.6) — the
+        # per-row act-quant epilogue breaks fusion around the cross-attn
+        # kernel, same failure mode as encoder-attention int8.  Keep the
+        # bf16 path; dyn_int8_linear stays available for callers that
+        # measure a win at their shapes.
         audio_feats, local_tokens = perception_apply(params, mel,
-                                                     self.config, w8a8=True)
+                                                     self.config)
         trans_embeds = jax.lax.stop_gradient(
             jllm.embed_tokens(params["llm"], trans_ids))
         embeds = apply_splice(text_embeds, audio_feats, trans_embeds,

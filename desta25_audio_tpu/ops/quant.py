@@ -220,7 +220,7 @@ def quant_matmul(x: jnp.ndarray, leaf: QuantLeaf,
     required for training through frozen quantized towers, where
     activation gradients flow but weight gradients don't).
 
-    w8a8: allow the big-M (>256 rows) dispatch to use per-row dynamic
+    w8a8: allow the big-M (>=128 rows) dispatch to use per-row dynamic
     activation quant + the int8 MXU (~1.9x prefill).  Default on;
     training passes False to keep the weight-only bf16-dequant forward.
     Env DESTA_INT8_PREFILL=0/1 force-overrides (see ``w8a8_default``)."""
