@@ -251,8 +251,9 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
                              ).astype(jnp.bfloat16)
         _, taps = jw.whisper_encoder_apply(enc_p, mel, enc_cfg,
                                            cfg8.target_layer_ids)
-        # w8a8 connector K/V (the deployed generate() path does the same)
-        feats = qformer_connector_apply(conn_p, taps, cfg8, w8a8=True)
+        # bf16 connector (the deployed generate() path — dynamic-int8
+        # K/V measured worse end-to-end, see CLAUDE.md MEASURED-WORSE)
+        feats = qformer_connector_apply(conn_p, taps, cfg8)
         ids = jnp.ones((1, T_CTX), jnp.int32)
         embeds = jllm.embed_tokens(llm_p, ids)
         embeds = jax.lax.dynamic_update_slice(

@@ -479,7 +479,11 @@ class DeSTA25AudioModel:
             # transcription token ids substituted at their splice
             # positions (kind==2) — the text the model is most likely to
             # echo, and exactly what n-gram drafting feeds on
-            prompt_ids = np.where(kind == 2, trans_ids[aidx, pos],
+            # pos at non-transcription positions (e.g. kind==1 audio
+            # slots) ranges over audio_token_size, past trans_max —
+            # clamp before the gather (np.where evaluates both arms)
+            pos_c = np.minimum(pos, trans_ids.shape[1] - 1)
+            prompt_ids = np.where(kind == 2, trans_ids[aidx, pos_c],
                                   input_ids).astype(np.int32)
             return (embeds, attn_mask, aux, all_audios,
                     all_transcriptions, prompt_ids)

@@ -223,8 +223,12 @@ def init_conv1d(key, in_ch: int, out_ch: int, kernel: int,
 def conv1d(p: Params, x: jnp.ndarray, stride: int = 1,
            padding: int = 0) -> jnp.ndarray:
     """x: [B, T, C_in] -> [B, T', C_out]."""
+    # conv_general_dilated requires equal operand dtypes (unlike
+    # jnp.dot's promotion) — promote for the mixed bf16-act / f32-param
+    # training case, return in the activation dtype like linear()
+    ct = jnp.promote_types(x.dtype, p["w"].dtype)
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride,),
+        x.astype(ct), p["w"].astype(ct), window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         preferred_element_type=jnp.float32,

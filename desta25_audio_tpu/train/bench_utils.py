@@ -27,14 +27,20 @@ from ..config import DeSTA25Config
 
 def flagship_config(connector_mode: str = "qformer_1") -> DeSTA25Config:
     kw = {}
+    llm_id = "DeSTA-ntu/Llama-3.1-8B-Instruct"
     if connector_mode == "orca_hybrid":
-        # desta25_qwen3-4b_ORCAHybrid.yaml geometry on the 8B backbone:
-        # 64 global tokens, stride-4 local conv, deep injection on
+        # desta25_qwen3-4b_ORCAHybrid.yaml — the reference's ORCA
+        # flagship runs on Qwen3-4B, not the 8B: deep injection adds
+        # ~4x d_model^2 f32 params per LLM layer, which on the 8B
+        # (4096 x 32L = 9.1 GB params + 9.1 GB grads) cannot co-reside
+        # with the 8 GB int8 tower on one 16 GB v5e.  8B+ORCA needs a
+        # "model"-sharded mesh (see docs/perf_roofline.md section 4).
+        llm_id = "Qwen/Qwen3-4B-Instruct-2507"
         kw = dict(orca_global_num_tokens=64, orca_local_downsample=4,
                   orca_local_kernel_size=5, orca_audio_position_scale=2.5,
                   orca_gate_init=0.1)
     return DeSTA25Config(
-        llm_model_id="DeSTA-ntu/Llama-3.1-8B-Instruct",
+        llm_model_id=llm_id,
         encoder_model_id="openai/whisper-large-v3",
         connector_mode=connector_mode, qformer_num_hidden_layers=6,
         prompt_size=64, dtype="bfloat16", **kw)

@@ -134,7 +134,8 @@ def run(workload, scale, rtt):
     def fresh_state():
         cache = jllm.init_kv_cache(cfg, B, T_MAX, dtype=jnp.bfloat16)
         ci0 = jnp.full((B,), 64, jnp.int32)
-        mask0 = (jnp.arange(T_MAX)[None, :] < 64).astype(jnp.int32)
+        mask0 = jnp.tile((jnp.arange(T_MAX)[None, :] < 64
+                          ).astype(jnp.int32), (B, 1))
         toks0 = jnp.asarray(rng.integers(2, 1000, size=(B,)), jnp.int32)
         # seed histories with a 64-token context; for the repetitive
         # workload the model's own (cyclic) continuation will extend it
