@@ -334,6 +334,15 @@ class DeSTA25Config:
     orca_ortho_diversity_weight: float = 0.01
     orca_ortho_weight_qformer_local: float = 0.01
     orca_align_weight_local: float = 0.05
+    # Param dtype for the deep-injection cross-attn stack.  f32 matches
+    # the reference; "bfloat16" halves params, grad temporaries AND
+    # optimizer stats (4*d_model^2 per LLM layer — the difference
+    # between fitting and OOM for large-backbone ORCA on one 16 GB
+    # chip, see docs/perf_roofline.md section 4).  Trade-off: optax
+    # stores adafactor's factored second moments in the param dtype, so
+    # bf16 also coarsens the optimizer statistics — prefer f32 + a
+    # "data"-sharded mesh when more than one chip is available.
+    orca_xattn_dtype: str = "float32"
 
     # Compute dtype for the frozen towers ("bfloat16" | "float32").
     dtype: str = "bfloat16"

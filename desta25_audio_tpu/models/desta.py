@@ -118,7 +118,8 @@ class DeSTA25AudioModel:
                 kc, self.config, dtype=jnp.float32)
             if self.config.orca_deep_injection_enabled:
                 params["orca_cross_attns"] = init_orca_cross_attns(
-                    kc, self.config, dtype=jnp.float32)
+                    kc, self.config,
+                    dtype=jnp.dtype(self.config.orca_xattn_dtype))
         else:
             raise NotImplementedError(self.config.connector_mode)
         if self.config.use_lora:

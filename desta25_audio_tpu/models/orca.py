@@ -204,4 +204,10 @@ def make_deep_injection_fn(
 
 
 def _l2norm(x: jnp.ndarray) -> jnp.ndarray:
-    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
+    # sqrt(sum(x^2) + eps^2), NOT linalg.norm(x) + eps: the norm's own
+    # backward at x == 0 is 0/0 = NaN, and masking the loss value
+    # afterwards cannot undo it (NaN * 0 = NaN).  Rows with no
+    # transcription positions pool to exactly zero, which silently
+    # NaN-ed every connector gradient (found via bench_train_orca).
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(sq + 1e-12)

@@ -38,7 +38,7 @@ def flagship_config(connector_mode: str = "qformer_1") -> DeSTA25Config:
         llm_id = "Qwen/Qwen3-4B-Instruct-2507"
         kw = dict(orca_global_num_tokens=64, orca_local_downsample=4,
                   orca_local_kernel_size=5, orca_audio_position_scale=2.5,
-                  orca_gate_init=0.1)
+                  orca_gate_init=0.1, orca_xattn_dtype="bfloat16")
     return DeSTA25Config(
         llm_model_id=llm_id,
         encoder_model_id="openai/whisper-large-v3",
@@ -83,8 +83,8 @@ def build_flagship_train_setup(batch_size: int = 12, seq_len: int = 300,
             kc, lambda k: init_orca_connector(k, cfg, dtype=jnp.float32),
             scale=0.02)
         xattn_p = random_tree_like(
-            kc, lambda k: init_orca_cross_attns(k, cfg,
-                                                dtype=jnp.float32),
+            kc, lambda k: init_orca_cross_attns(
+                k, cfg, dtype=jnp.dtype(cfg.orca_xattn_dtype)),
             scale=0.02)
         trainable: Dict[str, Any] = {"connector": conn_p,
                                      "orca_cross_attns": xattn_p}

@@ -91,7 +91,10 @@ def masked_lm_loss_chunked(llm_params, llm_cfg, hidden: jnp.ndarray,
 
 
 def _normalize(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + 1e-8)
+    # sqrt(sum(x^2) + eps^2) instead of linalg.norm + eps: norm's
+    # backward at x == 0 is 0/0 = NaN (see models/orca.py _l2norm).
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(sq + 1e-12)
 
 
 def diversity_loss(tokens: jnp.ndarray) -> jnp.ndarray:

@@ -52,10 +52,12 @@ def main():
     loss = float(m["lm_loss"])
     print(f"compile+step {time.time()-t0:.0f}s loss={loss:.3f} "
           f"(aux keys: {sorted(m)})")
-    for _ in range(2):
+    for i in range(2):
         trainable, opt_state, m = step(trainable, frozen, opt_state,
                                        batch)
-        float(m["lm_loss"])
+        print(f"warm {i}: " + " ".join(
+            f"{k}={float(v):.3f}" for k, v in sorted(m.items())
+            if getattr(v, 'ndim', 1) == 0))
     best = None
     for _ in range(4):
         t0 = time.time()
@@ -63,6 +65,8 @@ def main():
                                        batch)
         lm = float(m["lm_loss"])
         dt = time.time() - t0 - rtt
+        print(f"timed: lm={lm:.3f} grad_norm={float(m['grad_norm']):.3f} "
+              f"{dt*1e3:.0f} ms")
         best = dt if best is None else min(best, dt)
     assert np.isfinite(lm)
     print(f"ORCA train step: {best*1e3:.0f} ms -> "

@@ -202,3 +202,44 @@ def test_orca_checkpoint_roundtrip(orca_cfg, tmp_path):
             np.testing.assert_allclose(np.asarray(pa, np.float32),
                                        np.asarray(pb, np.float32),
                                        atol=1e-6)
+
+
+def test_orca_grads_finite_without_transcription_positions(orca_cfg):
+    """Regression: rows with NO transcription positions pool to exactly
+    zero, and l2-normalizing that zero vector used to NaN every
+    connector gradient (jnp.linalg.norm's backward at 0 is 0/0; masking
+    the loss value afterwards can't undo NaN * 0).  The prompt-only
+    reference layout (modeling_desta25.py:459-476) hits this on every
+    batch."""
+    from desta25_audio_tpu.models import llm as jllm
+    from desta25_audio_tpu.models import whisper as jw
+    from desta25_audio_tpu.models.orca import (
+        init_orca_connector,
+        init_orca_cross_attns,
+    )
+    from desta25_audio_tpu.train.bench_utils import synth_train_batch
+    from desta25_audio_tpu.train.step import _forward
+
+    cfg = orca_cfg
+    k = jax.random.PRNGKey(0)
+    frozen = {
+        "llm": jllm.init_llm(k, cfg.llm_config, dtype=jnp.bfloat16),
+        "whisper": {"encoder": jw.init_whisper_encoder(
+            k, cfg.encoder_config, dtype=jnp.bfloat16)},
+    }
+    trainable = {
+        "connector": init_orca_connector(k, cfg, dtype=jnp.float32),
+        "orca_cross_attns": init_orca_cross_attns(
+            k, cfg, dtype=jnp.bfloat16),
+    }
+    batch = synth_train_batch(cfg, 2, 48)  # kind==2 nowhere
+    assert not np.any(np.asarray(batch["kind"]) == 2)
+
+    def lf(t):
+        loss, _ = _forward({**frozen, **t}, batch, cfg, remat=True,
+                           training=True)
+        return loss
+
+    g = jax.grad(lf)(trainable)
+    for leaf in jax.tree.leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
