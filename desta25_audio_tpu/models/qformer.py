@@ -82,28 +82,63 @@ def _kv_linear(p, kv_in, w8a8: bool):
 
 
 def _bert_attn_apply(p: Params, q_in, kv_in, n_heads: int,
-                     w8a8: bool = False) -> jnp.ndarray:
+                     w8a8: bool = False, kv=None) -> jnp.ndarray:
+    """kv: optional precomputed (k, v) [B, T_kv, D] — skips the K/V
+    projections (see :func:`_batched_cross_kv`)."""
     B, T, D = q_in.shape
-    if _use_packed(n_heads, D, kv_in.shape[1]):
+    t_kv = kv[0].shape[1] if kv is not None else kv_in.shape[1]
+    if _use_packed(n_heads, D, t_kv):
         # Cross-attention over long encoder kv: the packed Pallas kernel
         # keeps q/k/v in [B, T, H*Dh] and never materializes the
         # [B, H, Tq, Tkv] score tensor in HBM (~13 ms/6L of pure traffic
         # on v5e at B8 x 4 taps, scripts/profile_qformer.py).
         from ..ops.enc_attention import packed_encoder_attention
         q = linear(p["q"], q_in)
-        k = _kv_linear(p["k"], kv_in, w8a8)
-        v = _kv_linear(p["v"], kv_in, w8a8)
+        k = kv[0] if kv is not None else _kv_linear(p["k"], kv_in, w8a8)
+        v = kv[1] if kv is not None else _kv_linear(p["v"], kv_in, w8a8)
         out = packed_encoder_attention(q, k, v, n_heads)
     else:
         dh = D // n_heads
         q = linear(p["q"], q_in).reshape(B, T, n_heads, dh)
-        k = _kv_linear(p["k"], kv_in, w8a8).reshape(B, kv_in.shape[1],
-                                                    n_heads, dh)
-        v = _kv_linear(p["v"], kv_in, w8a8).reshape(B, kv_in.shape[1],
-                                                    n_heads, dh)
+        k = kv[0] if kv is not None else _kv_linear(p["k"], kv_in, w8a8)
+        v = kv[1] if kv is not None else _kv_linear(p["v"], kv_in, w8a8)
+        k = k.reshape(B, t_kv, n_heads, dh)
+        v = v.reshape(B, t_kv, n_heads, dh)
         out = mha(q, k, v).reshape(B, T, D)
     out = linear(p["o"], out)
     return layer_norm(p["ln"], out + q_in, _BERT_EPS)
+
+
+def _quant_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row dynamic int8 activation quant: [.., K] -> (q int8 [M, K],
+    s f32 [M, 1]) with M = prod(leading dims)."""
+    K = x.shape[-1]
+    xf = x.reshape(-1, K).astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                    1e-8) / 127.0
+    q = jnp.round(xf / s).astype(jnp.int8)
+    return q, s
+
+
+def _int8_kv_linear(p: Params, qx: jnp.ndarray, sx: jnp.ndarray,
+                    shape, dtype) -> jnp.ndarray:
+    """K/V projection from pre-quantized activations: quantize the
+    (bf16, trainable) weight on the fly — O(K*N), negligible — and run
+    the int8 MXU.  Sharing ONE activation-quant pass across all 2x6L
+    cross K/V projections removes the 11 extra per-layer quant
+    epilogues that made the naive per-layer dyn-int8 wiring slower
+    end-to-end (MEASURED-WORSE, CLAUDE.md); a single fused
+    [M, D]x[D, 2LD] projection was also slower (the [M, 2LD] int32
+    intermediate + relayout, measured 70.7 vs 33.3 ms at b16)."""
+    w = p["w"].astype(jnp.float32)
+    ws = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+    qw = jnp.round(w / ws[None, :]).astype(jnp.int8)
+    y = jax.lax.dot_general(qx, qw, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sx * ws[None, :]
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.reshape(shape).astype(dtype)
 
 
 def _use_packed(n_heads: int, d: int, t_kv: int) -> bool:
@@ -124,6 +159,14 @@ def bert_encoder_apply(params: Params, hidden: jnp.ndarray,
     K/V projections; training callers must leave it False (round() has
     zero gradient)."""
     H = cfg.num_attention_heads
+    rows = hidden.shape[0] * encoder_hidden.shape[1]
+    shared_quant = (w8a8 and jax.default_backend() == "tpu"
+                    and rows >= 4096)
+    if shared_quant:
+        # one activation-quant pass shared by every layer's cross K/V
+        qx, sx = _quant_rows(encoder_hidden)
+        kv_shape = encoder_hidden.shape
+        kv_dtype = encoder_hidden.dtype
 
     # remat: without it, scan AD stacks each layer's cross k/v (tap-shaped
     # [B, T, D] bf16) as per-layer residuals — 6 x 2 x ~176 MB at flagship
@@ -132,7 +175,14 @@ def bert_encoder_apply(params: Params, hidden: jnp.ndarray,
     @jax.checkpoint
     def body(h, p):
         h = _bert_attn_apply(p["self"], h, h, H)
-        h = _bert_attn_apply(p["cross"], h, encoder_hidden, H, w8a8)
+        kv = None
+        if shared_quant:
+            kv = (_int8_kv_linear(p["cross"]["k"], qx, sx, kv_shape,
+                                  kv_dtype),
+                  _int8_kv_linear(p["cross"]["v"], qx, sx, kv_shape,
+                                  kv_dtype))
+        h = _bert_attn_apply(p["cross"], h, encoder_hidden, H, w8a8,
+                             kv=kv)
         inter = gelu(linear(p["inter"], h))
         out = linear(p["out"], inter)
         h = layer_norm(p["out_ln"], out + h, _BERT_EPS)
