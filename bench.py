@@ -301,6 +301,7 @@ def bench_serving(rtt, lp, llm_cfg):
     import sys
 
     from desta25_audio_tpu.generate.decode import sample_token_dynamic
+    from desta25_audio_tpu.models import llm as jllm
 
     K, T_MAX = 8, 384
     results = {}

@@ -222,9 +222,14 @@ def _attention(p: Params, x: jnp.ndarray, cos, sin, mask, cfg: LLMConfig,
             ck = jax.vmap(upd)(ck, kf, ci)
             cv = jax.vmap(upd)(cv, vf, ci)
         S_c = ck.shape[1]
+        new_cache = (ck, cv)
+        # The 4D view of the packed cache below is a tiling change, but
+        # per-kv-head 128-aligned lane slices measured WORSE than this
+        # reshape on v5e (A/B at b8 Qwen3-4B: 557 vs 592 tok/s at
+        # CTX=192, 627 vs 657 at CTX=64 — 8 small einsums pipeline worse
+        # than one reshaped batched einsum), so the reshape stays.
         k = ck.reshape(B, S_c, Hkv, Dh)
         v = cv.reshape(B, S_c, Hkv, Dh)
-        new_cache = (ck, cv)
 
     if layer_cache is None and flash_attention_mask is not None:
         # flash path (TPU, long-enough sequences) — causal + per-token mask
