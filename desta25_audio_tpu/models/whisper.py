@@ -223,23 +223,34 @@ def whisper_encoder_apply(
         B, T, D = x.shape
         taps = jnp.zeros((1, B, T, D), x.dtype)
     else:
-        # Tap ids are static, so the layer tower splits into static scan
-        # segments with a tap grab after each — no per-layer select over a
-        # [n_taps, B, T, D] carry (which costs a full buffer copy per
-        # layer; ~4 GB of HBM traffic for large-v3 at batch 8).
+        # One scan over all layers with a cond-guarded dynamic-update
+        # into the [n_taps, B, T, D] tap carry.  Measured fastest of
+        # three designs on v5e at b8 (scan-segment split: 148.5 ms,
+        # ys-emit+gather: 148.6, this: 145.4, tapless floor: 143.4) —
+        # the cond keeps XLA from touching the carry on the 28
+        # non-tap layers, and unlike scan segments the weight stream
+        # pipelines across every layer boundary.
         assert list(target_layer_ids) == sorted(set(target_layer_ids)), \
             target_layer_ids
-        taps_list = []
-        start = 0
-        for t in target_layer_ids:
-            seg = jax.tree.map(lambda a: a[start:t + 1], params["layers"])
-            x, _ = jax.lax.scan(body, x, seg)
-            taps_list.append(x)
-            start = t + 1
-        if start < cfg.encoder_layers:
-            seg = jax.tree.map(lambda a: a[start:], params["layers"])
-            x, _ = jax.lax.scan(body, x, seg)
-        taps = jnp.stack(taps_list)
+        tap_arr = jnp.asarray(target_layer_ids)
+
+        def body_tap(carry, p_i):
+            hidden, taps = carry
+            p, i = p_i
+            h = _enc_layer_apply(p, hidden, cfg.encoder_attention_heads)
+            hit = tap_arr == i
+            slot = jnp.argmax(hit)
+            taps = jax.lax.cond(
+                jnp.any(hit),
+                lambda tp: jax.lax.dynamic_update_slice(
+                    tp, h[None], (slot, 0, 0, 0)),
+                lambda tp: tp, taps)
+            return (h, taps), None
+
+        taps0 = jnp.zeros((n_taps,) + x.shape, x.dtype)
+        (x, taps), _ = jax.lax.scan(
+            body_tap, (x, taps0),
+            (params["layers"], jnp.arange(cfg.encoder_layers)))
     final = layer_norm(params["ln_post"], x)
     return final, taps
 
