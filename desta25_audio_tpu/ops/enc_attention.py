@@ -42,6 +42,13 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, dh: int, t_kv: int,
 
     q_ref: [1, bq, 128]; k_ref/v_ref: [1, Tkv_block, 128];
     o_ref: [1, bq, 128].  ``heads`` = 128 // dh heads in this lane group.
+
+    The head loop is software-pipelined: head ``h+1``'s QK^T (MXU) is
+    issued before head ``h``'s softmax (VPU) + PV, so the scheduler can
+    overlap the two units.  At encoder shape (B8, T1500, Dh64) the
+    per-layer softmax is ~369M exp ≈ 0.6 ms of VPU work — serializing it
+    with the dots cost ~0.35 ms/layer (A/B: scripts/ab_enc_attn.py,
+    1.27 → 0.91 ms median with the pipeline + bq=512).
     """
     q = q_ref[0]  # [bq, 128]
     k = k_ref[0]
@@ -55,22 +62,35 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, dh: int, t_kv: int,
     # would still poison the PV matmul
     vrow = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
     v = jnp.where(vrow < t_kv, v, 0).astype(v.dtype)
+    # fold the attention scale into q when it is a power of two (exact in
+    # bf16 — Dh=64 -> 1/8; saves a [bq, tkv] f32 multiply per head);
+    # otherwise scale the f32 scores to keep numerics identical
+    folded = math.log2(scale) == round(math.log2(scale))
+    if folded:
+        q = q * jnp.asarray(scale, q.dtype)
 
+    def score(h):
+        lo = h * dh
+        s = jax.lax.dot_general(
+            q[:, lo:lo + dh], k[:, lo:lo + dh], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, tkv]
+        if not folded:
+            s = s * scale
+        return jnp.where(valid, s, -1e30)
+
+    ss = [None] * heads
+    ss[0] = score(0)
     outs = []
     for h in range(heads):
-        lo = h * dh
-        qh = q[:, lo:lo + dh]
-        kh = k[:, lo:lo + dh]
-        vh = v[:, lo:lo + dh]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [bq, tkv]
-        s = jnp.where(valid, s, -1e30)
+        if h + 1 < heads:
+            ss[h + 1] = score(h + 1)
+        s = ss[h]
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         den = jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            e.astype(jnp.bfloat16), vh, (((1,), (0,)), ((), ())),
+            e.astype(jnp.bfloat16), v[:, h * dh:(h + 1) * dh],
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [bq, dh]
         outs.append(o / den)
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
@@ -89,7 +109,7 @@ def _xla_attention(q, k, v, n_heads: int, scale: float):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def packed_encoder_attention(q, k, v, n_heads: int, block_q: int = 256,
+def packed_encoder_attention(q, k, v, n_heads: int, block_q: int = 512,
                              interpret: bool = False):
     """Bidirectional MHA on packed [B, T, H*Dh] bf16 tensors.
 
