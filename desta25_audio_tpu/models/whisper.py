@@ -186,8 +186,24 @@ def _enc_self_attn(p: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
 def _enc_layer_apply(p: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     x = x + _enc_self_attn(p["attn"], layer_norm(p["ln1"], x), n_heads)
     h = layer_norm(p["ln2"], x)
-    h = linear(p["fc2"], gelu(linear(p["fc1"], h)))
+    h = _enc_ffn(p, h)
     return x + h
+
+
+def _enc_ffn(p: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """FFN: the fused fc1->gelu->fc2 Pallas kernel on TPU (the erf-gelu
+    between the matmuls is ~0.63 ms/layer of serialized VPU work at b8 —
+    the kernel chunks the hidden dim so gelu overlaps the MXU; see
+    ops/enc_ffn.py), XLA ops otherwise."""
+    import os
+    from ..ops.enc_ffn import encoder_ffn, ffn_supported
+    fc1, fc2 = p["fc1"], p["fc2"]
+    if (os.environ.get("DESTA_FUSED_ENC_FFN", "1") not in ("0", "false")
+            and _packed_attn_enabled() and h.shape[1] >= 512
+            and "w" in fc1 and "b" in fc1 and "w" in fc2 and "b" in fc2
+            and ffn_supported(h.shape[-1], fc1["w"].shape[1], h.dtype)):
+        return encoder_ffn(h, fc1["w"], fc1["b"], fc2["w"], fc2["b"])
+    return linear(fc2, gelu(linear(fc1, h)))
 
 
 def whisper_encoder_apply(
