@@ -239,13 +239,15 @@ def whisper_encoder_apply(
         B, T, D = x.shape
         taps = jnp.zeros((1, B, T, D), x.dtype)
     else:
-        # One scan over all layers with a cond-guarded dynamic-update
-        # into the [n_taps, B, T, D] tap carry.  Measured fastest of
-        # three designs on v5e at b8 (scan-segment split: 148.5 ms,
-        # ys-emit+gather: 148.6, this: 145.4, tapless floor: 143.4) —
-        # the cond keeps XLA from touching the carry on the 28
-        # non-tap layers, and unlike scan segments the weight stream
-        # pipelines across every layer boundary.
+        # One scan over all layers; EVERY layer writes its hidden state
+        # into a [n_taps + 1, B, T, D] carry — tap layers into their
+        # slot, the other 28 into a dead scratch slot.  The unconditional
+        # dynamic_update_slice keeps the carry donated/in-place (a
+        # lax.cond guard or ys-emit+gather both measured slower:
+        # 137.5 / 140.1 vs 136.2 ms at b8 under the fused-FFN kernel,
+        # scripts/ab_enc_taps.py; identical outputs), and unlike scan
+        # segments the weight stream pipelines across every layer
+        # boundary (segment split: 148.5 ms, round-3 A/B).
         assert list(target_layer_ids) == sorted(set(target_layer_ids)), \
             target_layer_ids
         tap_arr = jnp.asarray(target_layer_ids)
@@ -255,18 +257,16 @@ def whisper_encoder_apply(
             p, i = p_i
             h = _enc_layer_apply(p, hidden, cfg.encoder_attention_heads)
             hit = tap_arr == i
-            slot = jnp.argmax(hit)
-            taps = jax.lax.cond(
-                jnp.any(hit),
-                lambda tp: jax.lax.dynamic_update_slice(
-                    tp, h[None], (slot, 0, 0, 0)),
-                lambda tp: tp, taps)
+            slot = jnp.where(jnp.any(hit), jnp.argmax(hit), n_taps)
+            taps = jax.lax.dynamic_update_slice(
+                taps, h[None], (slot, 0, 0, 0))
             return (h, taps), None
 
-        taps0 = jnp.zeros((n_taps,) + x.shape, x.dtype)
+        taps0 = jnp.zeros((n_taps + 1,) + x.shape, x.dtype)
         (x, taps), _ = jax.lax.scan(
             body_tap, (x, taps0),
             (params["layers"], jnp.arange(cfg.encoder_layers)))
+        taps = taps[:n_taps]
     final = layer_norm(params["ln_post"], x)
     return final, taps
 
