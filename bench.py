@@ -123,6 +123,23 @@ def main():
         "batch": BATCH,
     }
     try:
+        # opt-in encoder_quant="int8" path: W8A8 fused FFN kernel
+        # (in-kernel act quant, ops/enc_ffn.encoder_ffn_w8a8) — encoder
+        # 134.7 -> 117.3 ms at b8 (scripts/ab_enc_ffn_w8a8.py)
+        from desta25_audio_tpu.ops.quant import quantize_encoder_params
+        enc_q = jax.jit(quantize_encoder_params)(enc_params)
+        jax.block_until_ready(enc_q)
+        fq = jax.jit(many)
+        float(fq(enc_q, conn_params, x0))
+        t0 = time.time()
+        float(fq(enc_q, conn_params, x0))
+        per_iter_q = max((time.time() - t0 - rtt) / ITERS, 1e-9)
+        detail["perception_int8_audio_sec_s"] = round(
+            BATCH * CLIP_SECONDS / per_iter_q, 1)
+        del enc_q
+    except Exception as e:  # noqa: BLE001
+        detail["perception_int8_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
         detail.update(bench_decode_and_ttft(
             rtt, enc_params, conn_params, cfg, x0[:1]))
     except Exception as e:  # noqa: BLE001
@@ -286,6 +303,24 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
                                                         1),
         "ttft_p50_ms_single_clip_llama8b_int8": round(p50 * 1e3, 2),
     }
+    try:
+        # opt-in encoder_quant="int8": B=1 encoder 19.7 -> 15.2 ms via the
+        # W8A8 fused FFN kernel (scripts/ab_enc_ffn_w8a8.py)
+        from desta25_audio_tpu.ops.quant import quantize_encoder_params
+        enc_q = jax.jit(quantize_encoder_params)(enc_params)
+        jax.block_until_ready(enc_q)
+        int(g(enc_q, conn8, lp, clip1))
+        qsamples = []
+        for _ in range(7):
+            t0 = time.time()
+            int(g(enc_q, conn8, lp, clip1))
+            qsamples.append(time.time() - t0 - rtt)
+        qsamples.sort()
+        out["ttft_int8enc_p50_ms"] = round(
+            qsamples[len(qsamples) // 2] * 1e3, 2)
+        del enc_q
+    except Exception as e:  # noqa: BLE001
+        out["ttft_int8enc_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         out.update(bench_serving(rtt, lp, llm_cfg))
     except Exception as e:  # noqa: BLE001

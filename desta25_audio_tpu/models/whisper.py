@@ -196,13 +196,29 @@ def _enc_ffn(p: Params, h: jnp.ndarray) -> jnp.ndarray:
     the kernel chunks the hidden dim so gelu overlaps the MXU; see
     ops/enc_ffn.py), XLA ops otherwise."""
     import os
-    from ..ops.enc_ffn import encoder_ffn, ffn_supported
+    from ..ops.enc_ffn import (
+        encoder_ffn,
+        encoder_ffn_w8a8,
+        ffn_supported,
+        ffn_w8a8_supported,
+    )
     fc1, fc2 = p["fc1"], p["fc2"]
-    if (os.environ.get("DESTA_FUSED_ENC_FFN", "1") not in ("0", "false")
-            and _packed_attn_enabled() and h.shape[1] >= 512
-            and "w" in fc1 and "b" in fc1 and "w" in fc2 and "b" in fc2
+    fused_on = (os.environ.get("DESTA_FUSED_ENC_FFN", "1")
+                not in ("0", "false")
+                and _packed_attn_enabled() and h.shape[1] >= 512)
+    if (fused_on and "w" in fc1 and "b" in fc1 and "w" in fc2
+            and "b" in fc2
             and ffn_supported(h.shape[-1], fc1["w"].shape[1], h.dtype)):
         return encoder_ffn(h, fc1["w"], fc1["b"], fc2["w"], fc2["b"])
+    if (fused_on and "q" in fc1 and "q" in fc2 and "b" in fc1
+            and "b" in fc2
+            and ffn_w8a8_supported(h.shape[-1], fc1["q"].shape[1],
+                                   h.dtype)):
+        # encoder_quant="int8" weights: W8A8 in ONE kernel (in-kernel
+        # per-row act quant; the per-op XLA int8 path pays fusion-breaking
+        # quant epilogues — see ops/quant.quantize_encoder_params)
+        return encoder_ffn_w8a8(h, fc1["q"], fc1["s"], fc1["b"],
+                                fc2["q"], fc2["s"], fc2["b"])
     return linear(fc2, gelu(linear(fc1, h)))
 
 

@@ -146,3 +146,126 @@ def _bwd(block_m, interpret, res, g):
 
 
 encoder_ffn.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 variant: int8 weights (ops/quant.quantize_encoder_params) + in-kernel
+# per-row dynamic activation quant -> int8 MXU (~1.7x the bf16 dot rate on
+# v5e, scripts/probe_int8_mxu_pallas.py).  The encoder_quant="int8" XLA path
+# pays a quant/dequant epilogue per matmul that breaks fusion; doing both
+# quantizations inside the chunk loop overlaps them (VPU) with the int8 dots
+# (MXU), like the gelu in the bf16 kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _quant_rows(x):
+    """f32 [m, k] -> (int8 [m, k], f32 [m, 1] scale); symmetric per-row."""
+    ax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    s = jnp.maximum(ax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _kernel_w8a8(x_ref, q1_ref, s1_ref, b1_ref, q2_ref, s2_ref, b2_ref,
+                 o_ref, acc, *, chunk_f: int):
+    x = x_ref[0].astype(jnp.float32)       # [bm, D]
+    xq, sx = _quant_rows(x)
+    F = q1_ref.shape[2]
+    n_chunks = F // chunk_f
+    for c in range(n_chunks):
+        sl = pl.ds(c * chunk_f, chunk_f)
+        hi = jnp.dot(xq, q1_ref[0, :, sl],
+                     preferred_element_type=jnp.int32)
+        h = hi.astype(jnp.float32) * (sx * s1_ref[0, 0, sl][None, :])
+        h = h + b1_ref[0, 0, sl].astype(jnp.float32)
+        g = _gelu_f32(h)
+        gq, sg = _quant_rows(g)
+        pi = jnp.dot(gq, q2_ref[0, sl, :],
+                     preferred_element_type=jnp.int32)
+        p = pi.astype(jnp.float32) * sg * s2_ref[0, 0][None, :]
+        if c == 0:
+            acc[:] = p
+        else:
+            acc[:] += p
+    o_ref[0] = (acc[:] + b2_ref[0, 0].astype(jnp.float32)
+                ).astype(o_ref.dtype)
+
+
+def ffn_w8a8_supported(d: int, f: int, dtype) -> bool:
+    return (dtype == jnp.bfloat16 and d % 128 == 0 and f % 1280 == 0
+            and 2 * (d * f) < 60 * 1024 * 1024)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def encoder_ffn_w8a8(x, q1, s1, b1, q2, s2, b2, block_m: int = 256,
+                     interpret: bool = False):
+    """x [B, T, D] bf16; q1 int8 [D, F] / s1 [F]; q2 int8 [F, D] / s2 [D]
+    (per-out-channel scales from ops/quant.quantize_weight); b1 [F], b2 [D].
+    Activations are quantized per-row inside the kernel.  Callers should
+    check :func:`ffn_w8a8_supported` and fall back otherwise."""
+    return _forward_w8a8(x, q1, s1, b1, q2, s2, b2, block_m, interpret)
+
+
+def _xla_ffn_w8a8(x, q1, s1, b1, q2, s2, b2):
+    """Dequantized-weight reference path (also the VJP recompute — the
+    encoder is frozen, so this only keeps jax.grad well-defined)."""
+    w1 = (q1.astype(jnp.float32) * s1[None, :]).astype(x.dtype)
+    w2 = (q2.astype(jnp.float32) * s2[None, :]).astype(x.dtype)
+    return _xla_ffn(x, w1, b1, w2, b2)
+
+
+def _forward_w8a8(x, q1, s1, b1, q2, s2, b2, block_m, interpret):
+    B, T, D = x.shape
+    F = q1.shape[1]
+    if not ffn_w8a8_supported(D, F, x.dtype):
+        return _xla_ffn_w8a8(x, q1, s1, b1, q2, s2, b2)
+    M = B * T
+    x2 = x.reshape(M, D)
+    bm = min(block_m, M)
+    chunk_f = 1280
+    grid = (pl.cdiv(M, bm),)
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_kernel_w8a8, chunk_f=chunk_f),
+        out_shape=jax.ShapeDtypeStruct((1, M, D), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bm, D), lambda m: (0, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, F), lambda m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, F), lambda m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, D), lambda m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bm, D), lambda m: (0, m, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x2[None], q1[None], s1.astype(f32)[None, None],
+      b1[None, None], q2[None], s2.astype(f32)[None, None],
+      b2[None, None])
+    return out[0].reshape(B, T, D)
+
+
+def _fwd_w8a8(x, q1, s1, b1, q2, s2, b2, block_m, interpret):
+    return _forward_w8a8(x, q1, s1, b1, q2, s2, b2, block_m, interpret), \
+        (x, q1, s1, b1, q2, s2, b2)
+
+
+def _bwd_w8a8(block_m, interpret, res, g):
+    _, vjp = jax.vjp(_xla_ffn_w8a8, *res)
+    return vjp(g)
+
+
+encoder_ffn_w8a8.defvjp(_fwd_w8a8, _bwd_w8a8)

@@ -15,9 +15,13 @@ import pytest
 
 from desta25_audio_tpu.ops.enc_ffn import (
     _xla_ffn,
+    _xla_ffn_w8a8,
     encoder_ffn,
+    encoder_ffn_w8a8,
     ffn_supported,
+    ffn_w8a8_supported,
 )
+from desta25_audio_tpu.ops.quant import quantize_weight
 
 
 def _mk(key, B, T, D, F):
@@ -74,6 +78,65 @@ def test_vjp_fallback_matches_xla_grads():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    atol=5e-2, rtol=5e-2)
+
+
+def _quant(w1, w2):
+    l1, l2 = quantize_weight(w1), quantize_weight(w2)
+    return l1["q"], l1["s"], l2["q"], l2["s"]
+
+
+@pytest.mark.parametrize("B,T,D,F,bm", [
+    (2, 160, 256, 1280, 128),
+    (1, 100, 128, 1280, 64),
+])
+def test_w8a8_matches_dequant_xla(B, T, D, F, bm):
+    """In-kernel act-quant W8A8 vs the dequantized-weight XLA FFN: the
+    residual error is the activation quantization (per-row symmetric
+    int8), which on unit-scale gaussians stays within a few percent."""
+    assert ffn_w8a8_supported(D, F, jnp.bfloat16)
+    x, w1, b1, w2, b2 = _mk(jax.random.PRNGKey(4), B, T, D, F)
+    q1, s1, q2, s2 = _quant(w1, w2)
+    got = np.asarray(
+        encoder_ffn_w8a8(x, q1, s1, b1, q2, s2, b2, bm, True), np.float32)
+    want = np.asarray(_xla_ffn_w8a8(x, q1, s1, b1, q2, s2, b2), np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.05, \
+        np.abs(got - want).max() / scale
+    # and close to the unquantized FFN (weight quant error included)
+    full = np.asarray(_xla_ffn(x, w1, b1, w2, b2), np.float32)
+    assert np.abs(got - full).max() / (np.abs(full).max() + 1e-6) < 0.08
+
+
+def test_w8a8_vjp_falls_back_to_dequant_grads():
+    x, w1, b1, w2, b2 = _mk(jax.random.PRNGKey(5), 1, 96, 128, 1280)
+    q1, s1, q2, s2 = _quant(w1, w2)
+
+    def loss_pallas(x):
+        return jnp.sum(encoder_ffn_w8a8(x, q1, s1, b1, q2, s2, b2, 64,
+                                        True).astype(jnp.float32))
+
+    def loss_xla(x):
+        return jnp.sum(_xla_ffn_w8a8(x, q1, s1, b1, q2, s2,
+                                     b2).astype(jnp.float32))
+
+    gp = jax.grad(loss_pallas)(x)
+    gx = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(gp, np.float32),
+                               np.asarray(gx, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="full-shape compiled check needs the TPU")
+def test_w8a8_full_shape_on_tpu():
+    x, w1, b1, w2, b2 = _mk(jax.random.PRNGKey(6), 2, 1500, 1280, 5120)
+    q1, s1, q2, s2 = _quant(w1, w2)
+    got = np.asarray(jax.jit(
+        lambda *a: encoder_ffn_w8a8(*a))(x, q1, s1, b1, q2, s2, b2),
+        np.float32)
+    want = np.asarray(_xla_ffn_w8a8(x, q1, s1, b1, q2, s2, b2), np.float32)
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.05
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
