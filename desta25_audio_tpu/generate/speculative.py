@@ -12,15 +12,25 @@ longest prefix that matches the model's own greedy choices.  Worst case
 stretches (transcriptions, lists, JSON, quoted context) decode several
 tokens per step.
 
-Greedy only: acceptance compares draft tokens to the verify pass's own
-argmax, so the emitted trajectory follows exactly the distribution the
-verify forward defines — the same greedy semantics as plain decode.
+Acceptance semantics: each verify position j draws its token from the
+model's processed next-token distribution at j (argmax when greedy, a
+temperature/top-p sample otherwise), and the draft prefix is accepted
+up to the first position where the drawn token differs from the draft.
+For greedy this is plain argmax-matching.  For sampling it is the
+token-matching coupling: with a *deterministic* drafter (a point mass
+q), accepting draft d_j iff an independent sample s_j ~ p_j equals d_j
+happens with probability p_j(d_j) — exactly the canonical
+min(1, p/q) rule — and the emitted token at the first mismatch is s_j
+itself, i.e. a fresh draw from p_j.  Every emitted token is therefore
+distributed as p(. | emitted prefix): the output distribution is
+IDENTICAL to plain autoregressive sampling; speculation only changes
+how many tokens land per weight stream.
 (Not bit-identical to the sequential loop in general: a verified token
 attends its in-flight predecessors through the kernel's f32 in-register
 block, while the sequential loop streams them from the bf16 cache, so a
-numerically tied argmax can resolve differently.  Both are valid
-bf16-rounding variants of the same math — the same caveat applies to
-vLLM's spec decode.)
+numerically tied argmax — or the logits a sample is drawn from — can
+differ at bf16 rounding level.  Both are valid rounding variants of the
+same math; the same caveat applies to vLLM's spec decode.)
 
 Replaces the decode loop of the reference's HF ``generate``
 (modeling_desta25.py:1419-1427) when ``speculative_k >= 2``.
@@ -78,33 +88,42 @@ def ngram_propose(hist: jnp.ndarray, hlen: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_ids", "pad_id",
-                     "speculative_k", "return_stats"),
+                     "speculative_k", "return_stats", "temperature",
+                     "top_p", "do_sample"),
 )
 def llm_generate_spec(
     params,
     cfg: LLMConfig,
     inputs_embeds: jnp.ndarray,       # [B, T, D] spliced context (left-pad)
     attention_mask: jnp.ndarray,      # [B, T] 1/0
+    key: Optional[jax.Array] = None,  # required when do_sample
     *,
     max_new_tokens: int,
     eos_ids: Tuple[int, ...] = (),
     pad_id: int = 0,
     speculative_k: int = 4,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    do_sample: bool = False,
     prompt_ids: Optional[jnp.ndarray] = None,  # [B, Tp] for n-gram lookup
     prompt_lens: Optional[jnp.ndarray] = None,  # [B]
     return_stats: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
-    """Prefill + speculative greedy decode.
+    """Prefill + speculative decode (greedy or sampled).
 
-    Same contract as ``llm_generate`` with do_sample=False: returns
-    (tokens [B, max_new_tokens], n_generated [B]); the stop token stays
-    in the output, later positions hold ``pad_id``.  ``prompt_ids``
-    (optional, e.g. the tokenized text context) seed the n-gram lookup
-    table; generated tokens always extend it.
+    Same contract as ``llm_generate``: returns (tokens
+    [B, max_new_tokens], n_generated [B]); the stop token stays in the
+    output, later positions hold ``pad_id``.  ``prompt_ids`` (optional,
+    e.g. the tokenized text context) seed the n-gram lookup table;
+    generated tokens always extend it.  With ``do_sample`` the emitted
+    distribution matches plain sampling exactly (token-matching
+    coupling — see module docstring); ``key`` is required then.
     """
     B, T, D = inputs_embeds.shape
     Kd = speculative_k
     assert Kd >= 2
+    if do_sample:
+        assert key is not None, "do_sample spec decode needs a PRNG key"
 
     Tmax = -(-(T + max_new_tokens + Kd) // 128) * 128
     cache = jllm.init_kv_cache(cfg, B, Tmax, dtype=inputs_embeds.dtype)
@@ -117,7 +136,13 @@ def llm_generate_spec(
         cache=cache, cache_index=0)
     last_pos = positions[:, -1]
 
-    tok0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    if do_sample:
+        from .decode import sample_token
+        tok0 = sample_token(logits[:, -1].astype(jnp.float32),
+                            jax.random.fold_in(key, 0xFFFF),
+                            temperature, top_p, True)
+    else:
+        tok0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
     eos_arr = jnp.asarray(eos_ids, jnp.int32) if eos_ids else None
 
     def is_eos(t):
@@ -175,7 +200,19 @@ def llm_generate_spec(
             params, cfg, embeds, mask, posn, s["cache"], s["ci"])
         hidden = rms_norm(params["norm"], hidden, cfg.rms_norm_eps)
         lg = _head_logits(params, cfg, hidden)       # [B, Kd, V]
-        g = jnp.argmax(lg, -1).astype(jnp.int32)
+        if do_sample:
+            # one draw from each position's processed distribution: the
+            # accept-on-equality below IS exact speculative sampling for
+            # a deterministic drafter (module docstring)
+            from .decode import sample_token
+            skey = jax.random.fold_in(key, s["steps"])
+            g = jnp.stack(
+                [sample_token(lg[:, j].astype(jnp.float32),
+                              jax.random.fold_in(skey, j),
+                              temperature, top_p, True)
+                 for j in range(Kd)], axis=1)
+        else:
+            g = jnp.argmax(lg, -1).astype(jnp.int32)
 
         match = (toks[:, 1:] == g[:, :-1]).astype(jnp.int32)
         m = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)   # [B]

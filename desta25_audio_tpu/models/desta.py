@@ -255,11 +255,12 @@ class DeSTA25AudioModel:
         blocks (extension; the reference truncates at 30 s — SURVEY §5).
         Only audios without a user transcription are chunked.
 
-        speculative_k: >= 2 enables n-gram speculative greedy decoding
+        speculative_k: >= 2 enables n-gram speculative decoding
         (generate/speculative.py): k-token drafts verified in one fused
-        weight stream per step.  Requires do_sample=False, int8 LLM
-        weights, and no LoRA/ORCA injection; silently falls back to the
-        plain loop otherwise.
+        weight stream per step.  Works for greedy AND sampled decoding
+        (token-matching coupling — the emitted distribution is identical
+        to plain sampling).  Requires int8 LLM weights and no LoRA/ORCA
+        injection; silently falls back to the plain loop otherwise.
         """
         if isinstance(messages, list):
             messages_list = ([messages] if isinstance(messages[0], dict)
@@ -492,8 +493,11 @@ class DeSTA25AudioModel:
 
     def _spec_eligible(self, speculative_k, do_sample, inject_kwargs,
                        B, T, max_new_tokens) -> bool:
-        """Trace-time check: can this request use speculative decode?"""
-        if speculative_k < 2 or do_sample or inject_kwargs:
+        """Trace-time check: can this request use speculative decode?
+        (Sampling is supported — token-matching coupling, see
+        generate/speculative.py.)"""
+        del do_sample
+        if speculative_k < 2 or inject_kwargs:
             return False
         if self.params.get("lora") is not None:
             return False
@@ -537,10 +541,12 @@ class DeSTA25AudioModel:
             aligned = jax.vmap(lambda r, n: jnp.roll(r, n - Tp))(
                 jnp.asarray(prompt_ids), lens)
             tokens, n_gen = llm_generate_spec(
-                self.params["llm"], self.llm_cfg, embeds, am,
+                self.params["llm"], self.llm_cfg, embeds, am, key,
                 max_new_tokens=max_new_tokens,
                 eos_ids=self._terminators(), pad_id=tk.pad_token_id,
                 speculative_k=speculative_k,
+                temperature=temperature, top_p=top_p,
+                do_sample=do_sample,
                 prompt_ids=aligned, prompt_lens=lens)
         else:
             tokens, n_gen = llm_generate(
@@ -596,10 +602,12 @@ class DeSTA25AudioModel:
             aligned = jax.vmap(lambda r, n: jnp.roll(r, n - Tp))(
                 input_ids, lens)
             tokens, _ = llm_generate_spec(
-                self.params["llm"], self.llm_cfg, embeds, attn_mask,
+                self.params["llm"], self.llm_cfg, embeds, attn_mask, key,
                 max_new_tokens=max_new_tokens,
                 eos_ids=self._terminators(), pad_id=tk.pad_token_id,
                 speculative_k=speculative_k,
+                temperature=temperature, top_p=top_p,
+                do_sample=do_sample,
                 prompt_ids=aligned, prompt_lens=lens)
         else:
             tokens, _ = llm_generate(

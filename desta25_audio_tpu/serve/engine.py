@@ -188,7 +188,8 @@ class ContinuousBatchingEngine:
         self.slot_decode_start = np.zeros(n_slots, np.int32)
 
         self._decode_jit = jax.jit(self._decode_steps)
-        self._spec_jit = jax.jit(self._spec_steps)
+        self._spec_jit = jax.jit(self._spec_steps,
+                                 static_argnames=("sample_positions",))
         self._prefill_jit = jax.jit(self._prefill,
                                     static_argnames=("t_bucket",))
 
@@ -279,20 +280,25 @@ class ContinuousBatchingEngine:
 
     def _spec_steps(self, params, cache, toks, rope_pos, write_pos, mask,
                     decode_start, hist, hlen, temp, top_p, do_sample,
-                    key):
+                    key, sample_positions: int = 1):
         """``steps_per_tick`` speculative-verify steps in ONE program.
 
         Each step drafts Kd-1 tokens per slot by bigram prompt-lookup
         over the slot's history buffer (generate/speculative.ngram_
         propose), verifies all Kd in one fused weight stream
         (ops/fused_decode.fused_verify_layers with per-row cache
-        indices) and accepts the longest prefix matching the model's own
-        greedy argmax — identical greedy semantics, several tokens/step
-        on repetitive continuations.  Sampled slots accept exactly one
-        token from the first verify position's logits in the same
-        program.  Rows freeze when an accepted stop token lands or the
-        cache can no longer hold a Kd-token write (ci > S - Kd — the
-        host surfaces that as ``cache_full``).
+        indices) and accepts the longest draft prefix matching the
+        model's own token draws — argmax for greedy slots, a
+        temperature/top-p sample per verify position for sampled slots
+        (the token-matching coupling: distribution-identical to plain
+        sampling, see generate/speculative.py).  ``sample_positions``
+        (static) is how many verify positions run the sampler — the
+        host passes Kd when any active slot samples and 1 otherwise, so
+        pure-greedy ticks never pay the extra sampler passes; sampled
+        rows' acceptance is capped at ``sample_positions``.  Rows freeze
+        when an accepted stop token lands or the cache can no longer
+        hold a Kd-token write (ci > S - Kd — the host surfaces that as
+        ``cache_full``).
 
         Returns (emits [K, B, Kd], ms [K, B] accepted counts, cur,
         cache, hist, hlen)."""
@@ -327,14 +333,20 @@ class ContinuousBatchingEngine:
             hidden = rms_norm(params["norm"], hidden, cfg.rms_norm_eps)
             lg = _head_logits(params, cfg, hidden)       # [B, Kd, V]
             g = jnp.argmax(lg, -1).astype(jnp.int32)
+            # sampled slots: one draw per verify position (greedy rows
+            # fall out of sample_token_dynamic as their exact argmax, so
+            # this overwrite is an identity for them)
+            skey = jax.random.fold_in(key, step)
+            for j in range(sample_positions):
+                tj = sample_token_dynamic(
+                    lg[:, j].astype(jnp.float32),
+                    jax.random.fold_in(skey, j), temp, top_p, do_sample)
+                g = g.at[:, j].set(tj)
             match = (toks_k[:, 1:] == g[:, :-1]).astype(jnp.int32)
             m = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
-            # sampled slots: one token from the first verify position
-            samp = sample_token_dynamic(
-                lg[:, 0].astype(jnp.float32),
-                jax.random.fold_in(key, step), temp, top_p, do_sample)
-            m = jnp.where(do_sample, 1, m)
-            g = g.at[:, 0].set(jnp.where(do_sample, samp, g[:, 0]))
+            # a sampled row may only accept positions whose token came
+            # from the sampler
+            m = jnp.where(do_sample, jnp.minimum(m, sample_positions), m)
             eos_hit = is_eos(g)
             eos_pos = jnp.min(jnp.where(eos_hit & (jidx < m[:, None]),
                                         jidx, Kd), axis=1)
@@ -558,7 +570,12 @@ class ContinuousBatchingEngine:
         write_pos = self.slot_pos.copy()
         if active and self.speculative_k:
             # spec tick: K verify steps, each accepting 1..Kd tokens per
-            # slot; history buffers ride on-device across ticks
+            # slot; history buffers ride on-device across ticks.  The
+            # sampler runs at every verify position only when a sampled
+            # slot is actually active (static arg -> at most two
+            # compiled variants).
+            nsp = (self.speculative_k
+                   if any(self.slot_sample[s] for s in active) else 1)
             outs, ms, cur, self.cache, self.hist, self.hlen = \
                 self._spec_jit(
                     self.model.params["llm"], self.cache,
@@ -568,7 +585,8 @@ class ContinuousBatchingEngine:
                     jnp.asarray(self.slot_decode_start), self.hist,
                     self.hlen, jnp.asarray(self.slot_temp),
                     jnp.asarray(self.slot_top_p),
-                    jnp.asarray(self.slot_sample), self._next_key())
+                    jnp.asarray(self.slot_sample), self._next_key(),
+                    sample_positions=nsp)
         elif active:
             # ``steps_per_tick`` decode steps for every slot in one
             # program (inactive slots compute on garbage and are ignored —

@@ -65,10 +65,22 @@ def build_params(scale):
     return cfg, lp
 
 
-def plain_tick(cfg):
-    t_idx = jnp.arange(T_MAX)
+def _sampler_args(sampled):
+    """Per-row sampling settings for the sampled-workload variant: the
+    regime a temperature-sampled chat deployment runs (temp 0.7,
+    nucleus 0.9)."""
+    temp = jnp.full((B,), 0.7, jnp.float32)
+    top_p = jnp.full((B,), 0.9, jnp.float32)
+    ds = jnp.full((B,), bool(sampled))
+    return temp, top_p, ds
 
-    def tick(params, cache, toks, ci, mask):
+
+def plain_tick(cfg, sampled=False):
+    from desta25_audio_tpu.generate.decode import sample_token_dynamic
+    t_idx = jnp.arange(T_MAX)
+    temp, top_p, ds = _sampler_args(sampled)
+
+    def tick(params, cache, toks, ci, mask, key):
         def body(carry, s):
             cur, cache, ci, mask = carry
             step_mask = mask | (t_idx[None, :] == ci[:, None]
@@ -77,7 +89,9 @@ def plain_tick(cfg):
                 params, cfg, input_ids=cur[:, None],
                 attention_mask=step_mask, positions=ci[:, None],
                 cache=cache, cache_index=ci)
-            nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+            nxt = sample_token_dynamic(
+                lg[:, -1].astype(jnp.float32),
+                jax.random.fold_in(key, s), temp, top_p, ds)
             return (nxt, cache, ci + 1, step_mask), nxt
 
         (cur, cache, ci, mask), outs = jax.lax.scan(
@@ -88,11 +102,13 @@ def plain_tick(cfg):
     return jax.jit(tick, donate_argnums=(1,))
 
 
-def spec_tick(cfg):
+def spec_tick(cfg, sampled=False):
+    from desta25_audio_tpu.generate.decode import sample_token_dynamic
     t_idx = jnp.arange(T_MAX)
     jidx = jnp.arange(KD)[None, :]
+    temp, top_p, ds = _sampler_args(sampled)
 
-    def tick(params, cache, toks, ci, mask, hist, hlen):
+    def tick(params, cache, toks, ci, mask, hist, hlen, key):
         full_mask = mask | (t_idx[None, :] >= 64).astype(jnp.int32)
 
         def body(carry, s):
@@ -106,6 +122,14 @@ def spec_tick(cfg):
             hidden = rms_norm(params["norm"], hidden, cfg.rms_norm_eps)
             lg = _head_logits(params, cfg, hidden)
             g = jnp.argmax(lg, -1).astype(jnp.int32)
+            if sampled:
+                # token-matching coupling (serve/engine._spec_steps)
+                skey = jax.random.fold_in(key, s)
+                for j in range(KD):
+                    tj = sample_token_dynamic(
+                        lg[:, j].astype(jnp.float32),
+                        jax.random.fold_in(skey, j), temp, top_p, ds)
+                    g = g.at[:, j].set(tj)
             match = (toks_k[:, 1:] == g[:, :-1]).astype(jnp.int32)
             m = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
             m = jnp.minimum(m, T_MAX - KD - ci)  # freeze near cache end
@@ -126,8 +150,17 @@ def spec_tick(cfg):
     return jax.jit(tick, donate_argnums=(1,))
 
 
-def run(workload, scale, rtt):
+def run(workload, scale, rtt, sampled=False, head_sharpen=1.0):
     cfg, lp = build_params(scale)
+    if head_sharpen != 1.0:
+        # scale ONLY the lm_head: argmax (the greedy trajectory) is
+        # unchanged, but the sampled distribution sharpens to the peaked
+        # regime real text lives in (p(top1) ~ 0.9) — tiny random weights
+        # otherwise emit near-uniform 128k-way logits that no sample ever
+        # matches, which says nothing about real acceptance
+        lh = dict(lp["lm_head"])
+        lh["s"] = lh["s"] * head_sharpen
+        lp = dict(lp, lm_head=lh)
     hcap = T_MAX + K * KD + 8
     rng = np.random.default_rng(0)
 
@@ -149,9 +182,10 @@ def run(workload, scale, rtt):
     # Both engines sync once per tick (the real engine's cadence): the
     # per-tick emitted-token count is force-fetched host-side.
     # plain
-    f = plain_tick(cfg)
+    f = plain_tick(cfg, sampled)
+    key = jax.random.PRNGKey(7)
     cache, toks0, ci0, mask0, _, _ = fresh_state()
-    out = f(lp, cache, toks0, ci0, mask0)
+    out = f(lp, cache, toks0, ci0, mask0, key)
     float(out[4])  # compile
     best = None
     for _ in range(3):
@@ -160,7 +194,7 @@ def run(workload, scale, rtt):
         t0 = time.time()
         tokens = 0.0
         for _t in range(N_TICKS):
-            c, cur, cin, mk, s, n = f(lp, *st)
+            c, cur, cin, mk, s, n = f(lp, *st, jax.random.fold_in(key, _t))
             st = (c, cur, cin, mk)
             tokens += float(n)
         dt = time.time() - t0 - rtt * N_TICKS
@@ -169,9 +203,9 @@ def run(workload, scale, rtt):
     results["plain_tok_s"] = best[1] / best[0]
 
     # spec
-    g = spec_tick(cfg)
+    g = spec_tick(cfg, sampled)
     cache, toks0, ci0, mask0, hist0, hlen0 = fresh_state()
-    out = g(lp, cache, toks0, ci0, mask0, hist0, hlen0)
+    out = g(lp, cache, toks0, ci0, mask0, hist0, hlen0, key)
     float(out[5])  # compile
     accepted_probe = None
     best = None
@@ -181,8 +215,9 @@ def run(workload, scale, rtt):
         t0 = time.time()
         tokens = 0.0
         for _t in range(N_TICKS):
-            c, cur, cin, hi, hl, chk, ms = g(lp, st[0], st[1], st[2],
-                                             st[3], st[4], st[5])
+            c, cur, cin, hi, hl, chk, ms = g(
+                lp, st[0], st[1], st[2], st[3], st[4], st[5],
+                jax.random.fold_in(key, 100 + _t))
             st = (c, cur, cin, st[3], hi, hl)
             tokens += float(ms)
         dt = time.time() - t0 - rtt * N_TICKS
@@ -205,6 +240,14 @@ def main():
     # output collapses to short cycles (repetitive-text proxy)
     run("repetitive", 0.001, rtt)
     run("random", 0.02, rtt)
+    # sampled variants: token-matching speculative sampling (temp 0.7 /
+    # top-p 0.9 per row) vs a plain sampled tick.  rep+sampled sharpens
+    # the head so the sampled distribution is peaked over the cyclic
+    # continuation (the regime of transcription echo under sampling);
+    # flat+sampled keeps the near-uniform distribution (acceptance floor).
+    run("rep+sampled", 0.001, rtt, sampled=True, head_sharpen=40.0)
+    run("flat+sampled", 0.001, rtt, sampled=True)
+    run("rnd+sampled", 0.02, rtt, sampled=True)
 
 
 if __name__ == "__main__":

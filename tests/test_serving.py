@@ -378,8 +378,10 @@ def test_engine_speculative_matches_plain_ticks(wavs, monkeypatch):
 
 
 def test_engine_speculative_mixed_sampling(wavs, monkeypatch):
-    """Sampled slots decode one token/step inside the spec program;
-    greedy slots in the same batch keep exact plain-tick trajectories."""
+    """Sampled slots run the token-matching coupling (one draw per verify
+    position, accept drafts that match); greedy slots in the same batch
+    keep exact plain-tick trajectories even while the sampler runs at
+    every verify position (sample_positions=Kd)."""
     monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
     m = _spec_model()
@@ -400,6 +402,32 @@ def test_engine_speculative_mixed_sampling(wavs, monkeypatch):
     sres = spec.run_until_done()
     assert sres[sg] == pres[pg]
     assert isinstance(sres[ss], str) and len(spec.finished[ss]) >= 1
+
+
+def test_engine_speculative_sampled_tiny_temp_matches_greedy(
+        wavs, monkeypatch):
+    """At temperature -> 0 a sampled slot's draws collapse to argmax, so
+    its spec-tick trajectory must equal the plain-tick greedy result —
+    pins the engine's per-position sampling + multi-token acceptance for
+    sampled slots end to end."""
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    m = _spec_model()
+    MAX_NEW = 8
+    plain = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
+                                     max_new_tokens=MAX_NEW,
+                                     ctx_bucket=128)
+    pg = plain.submit(_msgs(wavs[0], 0))
+    pres = plain.run_until_done()
+
+    spec = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
+                                    max_new_tokens=MAX_NEW,
+                                    ctx_bucket=128, speculative_k=4,
+                                    seed=5)
+    ss = spec.submit(_msgs(wavs[0], 0), temperature=1e-4, top_p=1.0,
+                     do_sample=True)
+    sres = spec.run_until_done()
+    assert sres[ss] == pres[pg], (sres[ss], pres[pg])
 
 
 def test_engine_speculative_fallback_when_unsupported(model):

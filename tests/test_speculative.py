@@ -77,6 +77,48 @@ def test_spec_trajectory_equals_plain_greedy(kd, rng, monkeypatch):
             assert r[b, :n].tolist() == g[b, :n].tolist(), (eos_ids, b)
 
 
+def test_spec_sampled_tiny_temperature_matches_greedy(rng, monkeypatch):
+    """Token-matching speculative SAMPLING: at temperature -> 0 every
+    per-position draw collapses to the argmax, so the sampled spec loop
+    must reproduce the greedy spec trajectory exactly — this pins the
+    coupling wiring (per-position keys, acceptance on sampled tokens,
+    sampled tok0) without a flaky statistical assertion."""
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    cfg = _nano_cfg()
+    params = jllm.init_llm(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    qp = quantize_llm_params(tree_cast(params, jnp.bfloat16))
+    B, T, MAX_NEW = 2, 12, 16
+    ids = jnp.asarray(rng.integers(2, 500, size=(B, T)), jnp.int32)
+    embeds = qp["embed"][ids]
+    amask = jnp.ones((B, T), jnp.int32)
+    ref, ref_n = llm_generate_spec(
+        qp, cfg, embeds, amask, max_new_tokens=MAX_NEW, eos_ids=(),
+        pad_id=0, speculative_k=4, prompt_ids=ids,
+        prompt_lens=jnp.full((B,), T, jnp.int32))
+    got, got_n = llm_generate_spec(
+        qp, cfg, embeds, amask, jax.random.PRNGKey(11),
+        max_new_tokens=MAX_NEW, eos_ids=(), pad_id=0, speculative_k=4,
+        temperature=1e-4, top_p=1.0, do_sample=True,
+        prompt_ids=ids, prompt_lens=jnp.full((B,), T, jnp.int32))
+    assert np.array_equal(np.asarray(ref_n), np.asarray(got_n))
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_spec_sampled_requires_key(monkeypatch):
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    cfg = _nano_cfg()
+    params = jllm.init_llm(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    qp = quantize_llm_params(tree_cast(params, jnp.bfloat16))
+    ids = jnp.asarray([[3, 9, 3, 9]], jnp.int32)
+    with pytest.raises(AssertionError):
+        llm_generate_spec(
+            qp, cfg, qp["embed"][ids], jnp.ones((1, 4), jnp.int32),
+            max_new_tokens=4, pad_id=0, speculative_k=4,
+            do_sample=True)
+
+
 def test_spec_accepts_multiple_tokens_on_repetitive_text(monkeypatch):
     """On a context that the model continues repetitively, the loop should
     finish in fewer verify steps than tokens (acceptance > 1/step)."""
@@ -139,3 +181,10 @@ def test_generate_speculative_e2e(monkeypatch, tmp_path):
     got_t = model.generate(tmsgs, do_sample=False, max_new_tokens=8,
                            speculative_k=4)
     assert got_t.text == ref_t.text
+
+    # sampled speculative generate (token-matching coupling): at
+    # temperature -> 0 every draw is the argmax, so the output must
+    # match greedy — proves generate() no longer falls back on do_sample
+    got_s = model.generate(msgs, do_sample=True, temperature=1e-4,
+                           top_p=1.0, max_new_tokens=10, speculative_k=4)
+    assert got_s.text == ref.text, (got_s.text, ref.text)
