@@ -242,10 +242,13 @@ def main():
     run("random", 0.02, rtt)
     # sampled variants: token-matching speculative sampling (temp 0.7 /
     # top-p 0.9 per row) vs a plain sampled tick.  rep+sampled sharpens
-    # the head so the sampled distribution is peaked over the cyclic
-    # continuation (the regime of transcription echo under sampling);
-    # flat+sampled keeps the near-uniform distribution (acceptance floor).
-    run("rep+sampled", 0.001, rtt, sampled=True, head_sharpen=40.0)
+    # the head (x1000 — tiny-scale random weights emit ~0.001-magnitude
+    # logits, flat at temp 0.7) so the sampled distribution is peaked
+    # over the cyclic continuation, the regime transcription echo lives
+    # in under sampling (p(top1) ~ 0.9); flat+sampled keeps the
+    # near-uniform distribution (acceptance floor: every draw misses the
+    # draft, measures pure overhead).
+    run("rep+sampled", 0.001, rtt, sampled=True, head_sharpen=1000.0)
     run("flat+sampled", 0.001, rtt, sampled=True)
     run("rnd+sampled", 0.02, rtt, sampled=True)
 
