@@ -54,7 +54,7 @@ def test_spec_trajectory_equals_plain_greedy(kd, rng, monkeypatch):
     cfg = _nano_cfg()
     params = jllm.init_llm(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
     qp = quantize_llm_params(tree_cast(params, jnp.bfloat16))
-    B, T, MAX_NEW = 2, 12, 24
+    B, T, MAX_NEW = 2, 12, 16
     ids = jnp.asarray(rng.integers(2, 500, size=(B, T)), jnp.int32)
     embeds = qp["embed"][ids]
     amask = jnp.ones((B, T), jnp.int32)
