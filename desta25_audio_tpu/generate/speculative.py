@@ -1,4 +1,5 @@
-"""Speculative greedy decoding: n-gram drafting + fused multi-token verify.
+"""Speculative decoding (greedy + sampled): n-gram drafting + fused
+multi-token verify.
 
 The fused decode kernel is HBM-bound on the weight stream, so verifying
 ``k`` draft tokens per row costs almost nothing over a single-token step
@@ -138,8 +139,10 @@ def llm_generate_spec(
 
     if do_sample:
         from .decode import sample_token
-        tok0 = sample_token(logits[:, -1].astype(jnp.float32),
-                            jax.random.fold_in(key, 0xFFFF),
+        # split (not fold_in) so tok0's stream can never alias a verify
+        # step's fold_in(key, steps) stream
+        key, key0 = jax.random.split(key)
+        tok0 = sample_token(logits[:, -1].astype(jnp.float32), key0,
                             temperature, top_p, True)
     else:
         tok0 = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
@@ -203,14 +206,14 @@ def llm_generate_spec(
         if do_sample:
             # one draw from each position's processed distribution: the
             # accept-on-equality below IS exact speculative sampling for
-            # a deterministic drafter (module docstring)
+            # a deterministic drafter (module docstring).  All B*Kd
+            # positions draw in ONE sampler pass — per-position passes
+            # would each pay a full-vocab reduction.
             from .decode import sample_token
-            skey = jax.random.fold_in(key, s["steps"])
-            g = jnp.stack(
-                [sample_token(lg[:, j].astype(jnp.float32),
-                              jax.random.fold_in(skey, j),
-                              temperature, top_p, True)
-                 for j in range(Kd)], axis=1)
+            g = sample_token(
+                lg.astype(jnp.float32).reshape(B * Kd, -1),
+                jax.random.fold_in(key, s["steps"]),
+                temperature, top_p, True).reshape(B, Kd)
         else:
             g = jnp.argmax(lg, -1).astype(jnp.int32)
 

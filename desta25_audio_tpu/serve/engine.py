@@ -95,15 +95,19 @@ class ContinuousBatchingEngine:
         host-side (once per tick).
 
         speculative_k >= 2 runs each tick as ``steps_per_tick``
-        *speculative verify* steps: every greedy slot drafts k-1 tokens
-        by n-gram prompt-lookup over its own [context + transcription +
+        *speculative verify* steps: every slot drafts k-1 tokens by
+        n-gram prompt-lookup over its own [context + transcription +
         generated] history (seeded at admission from the request's
         prompt ids) and verifies all k in one fused weight stream —
         repetitive continuations (transcription echo, JSON, lists)
         decode several tokens per step for ~5% extra cost per step.
-        Sampled slots fall back to one token per step inside the same
-        program.  Requires the fused int8 kernel (no LoRA / ORCA
-        injection); falls back to plain ticks with a warning otherwise.
+        Sampled slots speculate too: each verify position draws from its
+        temperature/top-p distribution and drafts are accepted up to the
+        first mismatch (token-matching coupling — the emitted
+        distribution is exactly plain sampling; generate/speculative.py
+        has the argument).  Requires the fused int8 kernel (no LoRA /
+        ORCA injection); falls back to plain ticks with a warning
+        otherwise.
 
         on_overflow: "error" (default) rejects submissions whose context
         exceeds ``max_ctx`` with ValueError; "truncate" clips the left
@@ -333,15 +337,28 @@ class ContinuousBatchingEngine:
             hidden = rms_norm(params["norm"], hidden, cfg.rms_norm_eps)
             lg = _head_logits(params, cfg, hidden)       # [B, Kd, V]
             g = jnp.argmax(lg, -1).astype(jnp.int32)
-            # sampled slots: one draw per verify position (greedy rows
-            # fall out of sample_token_dynamic as their exact argmax, so
-            # this overwrite is an identity for them)
-            skey = jax.random.fold_in(key, step)
-            for j in range(sample_positions):
-                tj = sample_token_dynamic(
-                    lg[:, j].astype(jnp.float32),
-                    jax.random.fold_in(skey, j), temp, top_p, do_sample)
-                g = g.at[:, j].set(tj)
+            nsp = sample_positions
+            if nsp > 1:
+                # sampled slots: one draw per verify position, batched as
+                # ONE [B*nsp, V] sampler pass (per-position passes would
+                # each pay the full-vocab argmax/logsumexp).  Greedy rows
+                # fall out of sample_token_dynamic as their exact argmax,
+                # so the overwrite is an identity for them.
+                B_ = g.shape[0]
+                drawn = sample_token_dynamic(
+                    lg[:, :nsp].astype(jnp.float32).reshape(
+                        B_ * nsp, -1),
+                    jax.random.fold_in(key, step),
+                    jnp.repeat(temp, nsp), jnp.repeat(top_p, nsp),
+                    jnp.repeat(do_sample, nsp))
+                g = g.at[:, :nsp].set(drawn.reshape(B_, nsp))
+            else:
+                # greedy-only tick except possibly position 0
+                t0_ = sample_token_dynamic(
+                    lg[:, 0].astype(jnp.float32),
+                    jax.random.fold_in(key, step), temp, top_p,
+                    do_sample)
+                g = g.at[:, 0].set(t0_)
             match = (toks_k[:, 1:] == g[:, :-1]).astype(jnp.int32)
             m = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
             # a sampled row may only accept positions whose token came

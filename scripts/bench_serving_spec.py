@@ -123,13 +123,14 @@ def spec_tick(cfg, sampled=False):
             lg = _head_logits(params, cfg, hidden)
             g = jnp.argmax(lg, -1).astype(jnp.int32)
             if sampled:
-                # token-matching coupling (serve/engine._spec_steps)
-                skey = jax.random.fold_in(key, s)
-                for j in range(KD):
-                    tj = sample_token_dynamic(
-                        lg[:, j].astype(jnp.float32),
-                        jax.random.fold_in(skey, j), temp, top_p, ds)
-                    g = g.at[:, j].set(tj)
+                # token-matching coupling (serve/engine._spec_steps):
+                # all B*KD positions in ONE batched sampler pass
+                drawn = sample_token_dynamic(
+                    lg.astype(jnp.float32).reshape(B * KD, -1),
+                    jax.random.fold_in(key, s),
+                    jnp.repeat(temp, KD), jnp.repeat(top_p, KD),
+                    jnp.repeat(ds, KD))
+                g = drawn.reshape(B, KD)
             match = (toks_k[:, 1:] == g[:, :-1]).astype(jnp.int32)
             m = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)
             m = jnp.minimum(m, T_MAX - KD - ci)  # freeze near cache end

@@ -126,6 +126,35 @@ def test_w8a8_vjp_falls_back_to_dequant_grads():
                                atol=5e-2, rtol=5e-2)
 
 
+def test_enc_ffn_dispatch_routes_quantized_to_w8a8_kernel(monkeypatch):
+    """models/whisper._enc_ffn must hand encoder_quant=int8 leaves to the
+    fused W8A8 kernel (not the per-op XLA int8 fallback) — pins the
+    dispatch condition on CPU so a leaf rename or condition drift can't
+    silently drop the 134.7->117.3 ms win until the next TPU bench."""
+    from desta25_audio_tpu.models import whisper as jw
+    from desta25_audio_tpu.ops import enc_ffn as ef
+
+    monkeypatch.setattr(jw, "_packed_attn_enabled", lambda: True)
+    hits = []
+    orig = ef.encoder_ffn_w8a8
+
+    def spy(x, q1, s1, b1, q2, s2, b2, block_m=256, interpret=False):
+        hits.append(1)
+        return orig(x, q1, s1, b1, q2, s2, b2, 64, True)
+
+    monkeypatch.setattr(ef, "encoder_ffn_w8a8", spy)
+    x, w1, b1, w2, b2 = _mk(jax.random.PRNGKey(7), 1, 512, 128, 1280)
+    q1, s1, q2, s2 = _quant(w1, w2)
+    p = {"fc1": {"q": q1, "s": s1, "b": b1},
+         "fc2": {"q": q2, "s": s2, "b": b2}}
+    got = jw._enc_ffn(p, x)
+    assert hits, "quantized FFN leaves must dispatch to the W8A8 kernel"
+    want = _xla_ffn_w8a8(x, q1, s1, b1, q2, s2, b2)
+    scale = np.abs(np.asarray(want, np.float32)).max() + 1e-6
+    assert np.abs(np.asarray(got, np.float32)
+                  - np.asarray(want, np.float32)).max() / scale < 0.05
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="full-shape compiled check needs the TPU")
 def test_w8a8_full_shape_on_tpu():
