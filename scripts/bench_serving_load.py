@@ -21,6 +21,9 @@ RTT inflates every host sync equally; relative numbers (admit vs
 no-admit ticks, TTFT decomposition) are deployment-representative.
 
 Run on TPU: python scripts/bench_serving_load.py [n_slots] [n_requests]
+           (--orca: the ORCA flagship — Qwen3-4B int8 + gated
+           cross-attention deep injection per slot; the injection path
+           runs the XLA decode tick, not the fused kernel)
 """
 import os
 import sys
@@ -42,19 +45,35 @@ from desta25_audio_tpu.models.desta import DeSTA25AudioModel
 from desta25_audio_tpu.serve.engine import ContinuousBatchingEngine
 from desta25_audio_tpu.utils.fast_init import random_tree_like
 
-N_SLOTS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-N_REQUESTS = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+ARGS = [a for a in sys.argv[1:] if not a.startswith("-")]
+ORCA = "--orca" in sys.argv[1:]
+N_SLOTS = int(ARGS[0]) if len(ARGS) > 0 else 8
+N_REQUESTS = int(ARGS[1]) if len(ARGS) > 1 else 48
 MAX_NEW = 48
 ARRIVAL_GROUP = 2        # requests per arrival batch
 ARRIVE_EVERY = 2         # ticks between arrival batches
 
 
-def build_model():
-    cfg = DeSTA25Config(
-        llm_model_id="DeSTA-ntu/Llama-3.1-8B-Instruct",
-        encoder_model_id="openai/whisper-large-v3",
-        connector_mode="qformer_1", qformer_num_hidden_layers=6,
-        prompt_size=64, dtype="bfloat16", llm_quant="int8")
+def build_model(orca: bool = False):
+    """Flagship serving model with fast-init weights.  orca=True builds
+    the reference's ORCA flagship (Qwen3-4B + hybrid connector + gated
+    cross-attention deep injection) — the injection path disables the
+    fused decode kernel, so this measures the XLA decode tick."""
+    if orca:
+        cfg = DeSTA25Config(
+            llm_model_id="Qwen/Qwen3-4B-Instruct-2507",
+            encoder_model_id="openai/whisper-large-v3",
+            connector_mode="orca_hybrid", prompt_size=64,
+            dtype="bfloat16", llm_quant="int8",
+            orca_global_num_tokens=64, orca_local_downsample=4,
+            orca_local_kernel_size=5, orca_audio_position_scale=2.5,
+            orca_gate_init=0.1, orca_xattn_dtype="bfloat16")
+    else:
+        cfg = DeSTA25Config(
+            llm_model_id="DeSTA-ntu/Llama-3.1-8B-Instruct",
+            encoder_model_id="openai/whisper-large-v3",
+            connector_mode="qformer_1", qformer_num_hidden_layers=6,
+            prompt_size=64, dtype="bfloat16", llm_quant="int8")
     shape_model = DeSTA25AudioModel.__new__(DeSTA25AudioModel)
     # build the param tree by shape, then fill it with fast random init
     # (a real per-layer init is a huge unrolled remote-compile program)
@@ -74,8 +93,9 @@ def build_model():
 
 def main():
     t0 = time.time()
-    model = build_model()
-    print(f"model init {time.time()-t0:.0f}s", file=sys.stderr)
+    model = build_model(ORCA)
+    print(f"model init ({'orca' if ORCA else 'qformer'}) "
+          f"{time.time()-t0:.0f}s", file=sys.stderr)
 
     eng = ContinuousBatchingEngine(
         model, n_slots=N_SLOTS, max_ctx=256, max_new_tokens=MAX_NEW,
