@@ -369,6 +369,26 @@ def llm_apply(
                 return logits, new_cache, None, extra_aux_init
             return logits, new_cache, None
 
+    # Deep-injection decode (ORCA): per-layer fused kernel pairs with the
+    # injection applied in XLA between layers — the single-launch kernel
+    # has no between-layer hook.  OPT-IN via DESTA_FUSED_PERLAYER=1:
+    # measured slower than XLA for the Qwen3-4B ORCA flagship (see
+    # ops/fused_decode_tp.fused_perlayer_supported).
+    if (cache is not None and T == 1 and lora is None
+            and extra_layer_fn is not None and extra_aux_init is None
+            and not return_hidden):
+        from ..ops.fused_decode_tp import (
+            fused_decode_layers_perlayer,
+            fused_perlayer_supported,
+        )
+        if fused_perlayer_supported(params, cfg, cache):
+            hidden_pre, new_cache = fused_decode_layers_perlayer(
+                params, cfg, x, attention_mask, positions, cache,
+                cache_index, extra_layer_fn=extra_layer_fn)
+            hidden = rms_norm(params["norm"], hidden_pre, cfg.rms_norm_eps)
+            logits = _head_logits(params, cfg, hidden, w8a8)
+            return logits, new_cache, None
+
     cos, sin = llm_rope_cos_sin(cfg, positions)
 
     n_layers = cfg.num_hidden_layers

@@ -690,3 +690,132 @@ def fused_decode_layers_tp(params, cfg, inputs_embeds, attention_mask,
     )(lsub, xp, cos, sin, bias, ci_arg, cache.k, cache.v)
     from ..models.llm import KVCache
     return h[:B].reshape(B, 1, D), KVCache(newk, newv)
+
+
+# ---------------------------------------------------------------------------
+# Single-device per-layer variant: the deep-injection decode fast path.
+#
+# ORCA's gated cross-attention runs BETWEEN decoder layers
+# (models/llm.py extra_layer_fn), which the 32-layer single-launch kernel
+# cannot host (one pallas_call has no between-grid-step escape to XLA).
+# The per-layer halves above don't need the mesh: at p=1 the partial sums
+# are total, so the same attn/mlp kernel pair runs layer-by-layer with the
+# injection applied in XLA between layers.  Measured motivation
+# (docs/serve.md): the ORCA flagship's XLA decode tick costs ~1.7x the 8B
+# fused tick despite half the weight bytes.
+# ---------------------------------------------------------------------------
+
+
+def fused_perlayer_supported(params, cfg, cache) -> bool:
+    """Trace-time predicate for the single-device per-layer fused decode
+    (deep-injection path).
+
+    OPT-IN (``DESTA_FUSED_PERLAYER=1``): measured SLOWER than the XLA
+    path for the ORCA flagship (Qwen3-4B int8 + injection, v5e b8:
+    21.2 vs 16.2 ms/step) — each launch's weight DMA is gated on the
+    kernel start, which waits on the previous layer's XLA injection, so
+    the stream serializes where XLA overlaps weight loads with the
+    injection math.  The real lever is injection INSIDE the kernel
+    (stream the gated-cross-attention weights, audio KV in VMEM)."""
+    import os
+    if os.environ.get("DESTA_FUSED_PERLAYER", "0") in ("0", "false"):
+        return False
+    if os.environ.get("DESTA_FUSED_DECODE", "1") in ("0", "false"):
+        return False
+    from ..parallel.mesh import current_mesh
+    if current_mesh() is not None:
+        return False  # mesh decode goes through the TP driver
+    from .quant import is_quantized
+    layers = params.get("layers", {})
+    keys = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+    if not all(is_quantized(layers.get(k)) for k in keys):
+        return False
+    if cache.k.dtype != jnp.bfloat16 or cache.k.ndim != 4:
+        return False
+    L, B, S, KVD = cache.k.shape
+    Hkv, Dh = cfg.num_key_value_heads, cfg.head_dim
+    H, D, I = (cfg.num_attention_heads, cfg.hidden_size,
+               cfg.intermediate_size)
+    if KVD != Hkv * Dh or Dh != 128 or S % 128 != 0 or H % Hkv:
+        return False
+    if D % 256 or I % 128:
+        return False
+    m = _tp_meta(cfg, 1, B, S)
+    if m.s_blk == 0 or not m.tiles:
+        return False
+    if B * H * S * 4 > 6 * 1024 * 1024:
+        return False
+    if jax.default_backend() != "tpu" and not _interpret_mode():
+        return False
+    return True
+
+
+def fused_decode_layers_perlayer(params, cfg, inputs_embeds,
+                                 attention_mask, positions, cache,
+                                 cache_index, extra_layer_fn=None):
+    """One decode step, per-layer kernel pairs on ONE device, with an
+    optional ``extra_layer_fn(layer_idx, hidden [B,1,D]) -> hidden``
+    applied between layers (ORCA deep injection).
+
+    Same contract as ops.fused_decode.fused_decode_layers."""
+    B, T, D = inputs_embeds.shape
+    assert T == 1
+    L, _, S, KVD = cache.k.shape
+    ci_in = jnp.asarray(cache_index)
+    ci = (jnp.broadcast_to(ci_in, (B,)) if ci_in.ndim == 0
+          else ci_in).astype(jnp.int32)
+    cos, sin = llm_rope_cos_sin(cfg, positions.reshape(B))
+    key_idx = jnp.arange(S)[None, :]
+    valid = (attention_mask[:, :S] > 0) & (key_idx < ci[:, None])
+    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+    Mp = max(16, -(-B // 16) * 16)
+    xp = inputs_embeds.reshape(B, D).astype(jnp.bfloat16)
+    if Mp != B:
+        xp = jnp.pad(xp, ((0, Mp - B), (0, 0)))
+
+    m = _tp_meta(cfg, 1, B, S)
+    interpret = _interpret_mode()
+    attn_call = _build_attn_call(m, interpret)
+    mlp_call = _build_mlp_call(m, interpret)
+    layers = params["layers"]
+    ci_arg = ci.reshape(1, B)
+
+    keys = ["wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+            "ln1", "ln2"]
+    if m.qk_norm:
+        keys += ["q_norm", "k_norm"]
+    lsub = {k: layers[k] for k in keys}
+
+    def step(h, xs):
+        lp, kc_l, vc_l, idx = xs
+        args = [h.astype(jnp.bfloat16), lp["ln1"]["scale"][None, :]]
+        if m.qk_norm:
+            args += [lp["q_norm"]["scale"][None, :],
+                     lp["k_norm"]["scale"][None, :]]
+        args += [cos.astype(jnp.float32), sin.astype(jnp.float32),
+                 bias, ci_arg]
+        args += [lp[k]["s"][None, :] for k in ("wq", "wk", "wv", "wo")]
+        args += [lp[k]["q"] for k in ("wq", "wk", "wv", "wo")]
+        args += [kc_l, vc_l]
+        attn_part, kc_l, vc_l = attn_call(*args)
+        h = h + attn_part  # p=1: the "partial" sum is total
+        margs = [h.astype(jnp.bfloat16), lp["ln2"]["scale"][None, :],
+                 lp["w_up"]["s"][None, :],
+                 lp["w_gate"]["s"][None, :],
+                 lp["w_down"]["s"][None, :],
+                 lp["w_up"]["q"], lp["w_gate"]["q"],
+                 lp["w_down"]["q"]]
+        h = h + mlp_call(*margs)
+        if extra_layer_fn is not None:
+            hb = extra_layer_fn(
+                idx, h[:B].reshape(B, 1, D).astype(jnp.bfloat16))
+            hb = hb.reshape(B, D).astype(jnp.float32)
+            h = hb if Mp == B else h.at[:B].set(hb)
+        return h, (kc_l, vc_l)
+
+    h0 = xp.astype(jnp.float32)
+    h, (kcs, vcs) = jax.lax.scan(
+        step, h0, (lsub, cache.k, cache.v, jnp.arange(L)))
+    from ..models.llm import KVCache
+    return (h[:B].astype(jnp.bfloat16).reshape(B, 1, D),
+            KVCache(kcs, vcs))

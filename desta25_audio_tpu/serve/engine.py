@@ -122,9 +122,13 @@ class ContinuousBatchingEngine:
         self.ctx_bucket = ctx_bucket
         self.t_max = max_ctx + max_new_tokens
         if speculative_k >= 2:
-            # Kd slack (verify writes land at ci..ci+Kd-1) + the fused
-            # kernel's 128-multiple sequence requirement
-            self.t_max = -(-(self.t_max + speculative_k) // 128) * 128
+            # Kd slack: verify writes land at ci..ci+Kd-1
+            self.t_max += speculative_k
+        # ALL fused decode kernels (single-launch, TP, per-layer) require
+        # the cache length to be a 128 multiple — an unrounded t_max
+        # (e.g. 256+48=304) silently dropped every tick to the ~2x-slower
+        # XLA path, caught by the round-3 load bench
+        self.t_max = -(-self.t_max // 128) * 128
         self.steps_per_tick = max(1, steps_per_tick)
         if on_overflow not in ("error", "truncate"):
             raise ValueError(f"on_overflow: {on_overflow!r} "

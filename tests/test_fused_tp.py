@@ -89,6 +89,62 @@ def test_tp_fused_decode_matches_xla(setup, monkeypatch):
     assert (got.argmax(-1) == ref.argmax(-1)).all()
 
 
+def test_perlayer_fused_decode_with_injection_matches_xla(
+        setup, monkeypatch):
+    """Single-device per-layer fused decode with an extra_layer_fn
+    (ORCA's deep-injection shape) must match the XLA decode path running
+    the same injection — pins the new fast path for injected decode."""
+    cfg, qp = setup
+    B, S, N_STEPS, CI0 = 2, 128, 3, 16
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    monkeypatch.setenv("DESTA_FUSED_PERLAYER", "1")  # opt-in path
+
+    def inject(idx, h):
+        # layer-dependent nonlinear stand-in for gated cross-attention
+        return h + (0.05 * (1.0 + idx.astype(jnp.float32))
+                    * jnp.tanh(h.astype(jnp.float32))).astype(h.dtype)
+
+    def decode(fused):
+        monkeypatch.setenv("DESTA_FUSED_DECODE", "1" if fused else "0")
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(2, 500, size=(B, CI0)), jnp.int32)
+        cache = jllm.init_kv_cache(cfg, B, S, dtype=jnp.bfloat16)
+        mask = jnp.ones((B, S), jnp.int32)
+        lg, cache, _ = jllm.llm_apply(
+            qp, cfg, input_ids=ids, attention_mask=mask, cache=cache,
+            cache_index=0, extra_layer_fn=inject)
+        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        outs = []
+        for t in range(N_STEPS):
+            lg, cache, _ = jllm.llm_apply(
+                qp, cfg, input_ids=tok[:, None], attention_mask=mask,
+                positions=jnp.full((B, 1), CI0 + t, jnp.int32),
+                cache=cache, cache_index=CI0 + t,
+                extra_layer_fn=inject)
+            outs.append(np.asarray(lg[:, -1], np.float32))
+            tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        return np.stack(outs), cache
+
+    from desta25_audio_tpu.ops.fused_decode_tp import (
+        fused_perlayer_supported,
+    )
+    cache_probe = jllm.init_kv_cache(cfg, B, S, dtype=jnp.bfloat16)
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    assert fused_perlayer_supported(qp, cfg, cache_probe), \
+        "per-layer fused path must engage single-device"
+
+    ref, ref_cache = decode(fused=False)
+    got, got_cache = decode(fused=True)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 5e-2, \
+        np.abs(got - ref).max() / scale
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+    # decode-step cache writes agree (layer 0, step CI0)
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k)[0, :, CI0],
+        np.asarray(ref_cache.k)[0, :, CI0], rtol=0.05, atol=0.05)
+
+
 def test_tp_fused_per_row_cache_indices(setup, rng, monkeypatch):
     """Serving-shaped decode: per-row cache positions through the TP
     kernels match the XLA path's per-row writes."""
