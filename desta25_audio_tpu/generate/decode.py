@@ -151,14 +151,22 @@ def llm_generate(
     B, T, D = inputs_embeds.shape
     extra_layer_fn = None
     if inject_params is not None:
-        from ..models.orca import gated_cross_attention_apply
+        from ..models.orca import (
+            gated_cross_attention_apply,
+            precompute_cross_kv,
+        )
         from ..ops.rope import fractional_rope_apply
         roped = fractional_rope_apply(inject_tokens, inject_scale,
                                       cfg.rope_theta)
+        # per-layer audio K/V are decode-loop constants: project once
+        # here (outside the while_loop) instead of every step x layer
+        inj_k, inj_v = precompute_cross_kv(inject_params, roped)
 
         def extra_layer_fn(idx, h):
             lp = jax.tree.map(lambda x: x[idx], inject_params["layers"])
-            return gated_cross_attention_apply(lp, h, roped, inject_heads)
+            return gated_cross_attention_apply(
+                lp, h, None, inject_heads,
+                cached_kv=(inj_k[idx], inj_v[idx]))
 
     # Round the cache up to a 128 multiple: the fused decode kernel tiles
     # the KV stream in 128-lane blocks (extra positions are mask-dead).

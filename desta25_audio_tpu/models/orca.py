@@ -137,15 +137,26 @@ def init_orca_cross_attns(key, cfg: DeSTA25Config,
 def gated_cross_attention_apply(
     p: Params,
     hidden: jnp.ndarray,        # [B, T, D]
-    audio_roped: jnp.ndarray,   # [B, Ta, D] (already RoPE'd)
+    audio_roped: jnp.ndarray,   # [B, Ta, D] (already RoPE'd); may be None
     n_heads: int,
+    cached_kv=None,             # ([B, Ta, D], [B, Ta, D]) from
+    #                             precompute_cross_kv — skips the k/v
+    #                             projections (they are loop-invariant in
+    #                             decode: recomputing them every step cost
+    #                             ~92 GFLOP/layer/step at the flagship)
 ) -> jnp.ndarray:
     B, T, D = hidden.shape
-    Ta = audio_roped.shape[1]
     dh = D // n_heads
     q = linear(p["q"], hidden).reshape(B, T, n_heads, dh)
-    k = linear(p["k"], audio_roped).reshape(B, Ta, n_heads, dh)
-    v = linear(p["v"], audio_roped).reshape(B, Ta, n_heads, dh)
+    if cached_kv is None:
+        Ta = audio_roped.shape[1]
+        k = linear(p["k"], audio_roped).reshape(B, Ta, n_heads, dh)
+        v = linear(p["v"], audio_roped).reshape(B, Ta, n_heads, dh)
+    else:
+        kf, vf = cached_kv
+        Ta = kf.shape[1]
+        k = kf.astype(hidden.dtype).reshape(B, Ta, n_heads, dh)
+        v = vf.astype(hidden.dtype).reshape(B, Ta, n_heads, dh)
     attn = mha(q, k, v).reshape(B, T, D)
     attn = linear(p["o"], attn)
     attn = layer_norm(p["ln"], attn, eps=1e-5)
@@ -153,6 +164,20 @@ def gated_cross_attention_apply(
         linear(p["gate2"], gelu(linear(p["gate1"], hidden))
                ).astype(jnp.float32))
     return hidden + (gate * attn.astype(jnp.float32)).astype(hidden.dtype)
+
+
+def precompute_cross_kv(orca_params: Params, audio_roped: jnp.ndarray):
+    """Per-layer audio K/V for the gated cross-attention: two
+    [L, B, Ta, D] arrays (layer-stacked, matching ``orca_params["layers"]``).
+
+    The audio tokens — and therefore every layer's k/v projections of
+    them — are constant across decode steps; computing them once per
+    request turns ~L x 92 GFLOP/step of re-projection (flagship: 3.3
+    TFLOP/step, dominating the 4B tower itself) into a one-time cost."""
+    def one(lp):
+        return linear(lp["k"], audio_roped), linear(lp["v"], audio_roped)
+
+    return jax.vmap(one)(orca_params["layers"])
 
 
 def make_deep_injection_fn(

@@ -166,11 +166,20 @@ class ContinuousBatchingEngine:
                 mcfg.orca_global_num_tokens
                 if mcfg.orca_global_cross_attn else 0)
         d_llm = self.cfg.hidden_size
-        self.inject_buf = jnp.zeros(
-            (n_slots, max(self._inject_len, 1), d_llm), model.dtype)
-        self.inject_on = np.zeros(n_slots, np.float32)
         self._inject_params = (model.params["orca_cross_attns"]
                                if self._inject_len else None)
+        # per-layer audio K/V, precomputed ONCE at admission: the audio
+        # tokens are decode-loop constants, and re-projecting them every
+        # step x layer cost ~3.3 TFLOP/step at the ORCA flagship —
+        # more FLOPs than the whole 4B tower (models/orca.py
+        # precompute_cross_kv).  [L, n_slots, Ta, D] x2, model dtype.
+        n_inj_layers = (jax.tree.leaves(self._inject_params)[0].shape[0]
+                        if self._inject_len else 1)
+        self.inject_k = jnp.zeros(
+            (n_inj_layers, n_slots, max(self._inject_len, 1), d_llm),
+            model.dtype)
+        self.inject_v = jnp.zeros_like(self.inject_k)
+        self.inject_on = np.zeros(n_slots, np.float32)
 
         # speculative verify ticks (greedy slots draft k-1 tokens/step)
         self.speculative_k = 0
@@ -203,12 +212,14 @@ class ContinuousBatchingEngine:
 
     # -- jitted programs ---------------------------------------------------
 
-    def _inject_fn(self, inject_params, inject_kv, inject_on):
-        """extra_layer_fn over per-batch injection kv + on-flags.
+    def _inject_fn(self, inject_params, inj_k, inj_v, inject_on):
+        """extra_layer_fn over per-batch precomputed injection K/V +
+        on-flags.
 
         inject_params is a jit ARGUMENT (stacked orca_cross_attns layers),
         never a closure constant — closing over a big param tree would bake
-        the weights into the HLO."""
+        the weights into the HLO.  inj_k/inj_v are the per-layer audio
+        K/V from precompute_cross_kv ([L, B, Ta, D])."""
         if self._inject_len == 0:
             return None
         from ..models.orca import gated_cross_attention_apply
@@ -216,7 +227,8 @@ class ContinuousBatchingEngine:
 
         def fn(idx, h):
             lp = jax.tree.map(lambda x: x[idx], inject_params["layers"])
-            out = gated_cross_attention_apply(lp, h, inject_kv, heads)
+            out = gated_cross_attention_apply(
+                lp, h, None, heads, cached_kv=(inj_k[idx], inj_v[idx]))
             # where (not a lerp) keeps audio slots bit-exact with the
             # one-shot generate path and text-only slots untouched
             return jnp.where(inject_on[:, None, None] > 0, out, h)
@@ -230,6 +242,14 @@ class ContinuousBatchingEngine:
         fill).  R is padded to a power of two by the caller; padded rows
         carry all-zero masks and are discarded host-side."""
         R = embeds.shape[0]
+        if self._inject_len:
+            from ..models.orca import precompute_cross_kv
+            inj_k, inj_v = precompute_cross_kv(inject_params, inject_kv)
+            inj_k = inj_k.astype(self.model.dtype)
+            inj_v = inj_v.astype(self.model.dtype)
+        else:
+            inj_k = inj_v = jnp.zeros(
+                (1,) + inject_kv.shape, self.model.dtype)
         cache = jllm.init_kv_cache(self.cfg, R, self.t_max,
                                    dtype=self.model.dtype)
         full_mask = jnp.zeros((R, self.t_max), jnp.int32
@@ -241,15 +261,15 @@ class ContinuousBatchingEngine:
             cache=cache, cache_index=0,
             lora=params.get("lora"),
             lora_scale=self.model.config.lora_scale,
-            extra_layer_fn=self._inject_fn(inject_params, inject_kv,
+            extra_layer_fn=self._inject_fn(inject_params, inj_k, inj_v,
                                            inject_on))
         tok = sample_token_dynamic(logits[:, -1].astype(jnp.float32), key,
                                    temp, top_p, do_sample)
-        return tok, cache.k, cache.v, positions[:, -1]
+        return tok, cache.k, cache.v, positions[:, -1], inj_k, inj_v
 
     def _decode_steps(self, params, inject_params, cache, toks, rope_pos,
-                      write_pos, mask, inject_kv, inject_on, temp, top_p,
-                      do_sample, key):
+                      write_pos, mask, inj_k, inj_v, inject_on, temp,
+                      top_p, do_sample, key):
         """``steps_per_tick`` decode steps in ONE program (lax.scan) —
         every host<->device round trip costs tunnel RTT, so the host only
         syncs once per tick.  Rows that emit a stop token freeze (keep
@@ -257,7 +277,7 @@ class ContinuousBatchingEngine:
         stop/budget and discards the rest."""
         eos = (jnp.asarray(sorted(self._eos), jnp.int32)
                if self._eos else None)
-        extra = self._inject_fn(inject_params, inject_kv, inject_on)
+        extra = self._inject_fn(inject_params, inj_k, inj_v, inject_on)
         t_idx = jnp.arange(self.t_max)
 
         def body(carry, step):
@@ -491,7 +511,7 @@ class ContinuousBatchingEngine:
         mask = np.zeros((Rp, Tb), np.int32)
         for i, r in enumerate(reqs):
             mask[i, Tb - r.ctx_len:] = 1
-        Ta = self.inject_buf.shape[1]
+        Ta = self.inject_k.shape[2]
         zero_inject = jnp.zeros((1, Ta, D), dtype)
         inject_kv = jnp.concatenate(
             [r.inject if r.inject is not None else zero_inject
@@ -507,7 +527,7 @@ class ContinuousBatchingEngine:
             temp[i], top_p[i], do_sample[i] = (r.temperature, r.top_p,
                                                r.do_sample)
 
-        tok, k_all, v_all, last_pos = self._prefill_jit(
+        tok, k_all, v_all, last_pos, inj_k, inj_v = self._prefill_jit(
             self.model.params["llm"], self._inject_params,
             embeds, jnp.asarray(mask), inject_kv,
             jnp.asarray(on), jnp.asarray(temp), jnp.asarray(top_p),
@@ -517,7 +537,8 @@ class ContinuousBatchingEngine:
             self.cache.k.at[:, sl].set(k_all[:, :R]),
             self.cache.v.at[:, sl].set(v_all[:, :R]))
         if self._inject_len:
-            self.inject_buf = self.inject_buf.at[sl].set(inject_kv[:R])
+            self.inject_k = self.inject_k.at[:, sl].set(inj_k[:, :R])
+            self.inject_v = self.inject_v.at[:, sl].set(inj_v[:, :R])
         tok = np.asarray(tok)
         last_pos = np.asarray(last_pos)
         if self.speculative_k:
@@ -617,7 +638,8 @@ class ContinuousBatchingEngine:
                 self.model.params["llm"], self._inject_params, self.cache,
                 jnp.asarray(self.cur_tok), jnp.asarray(self.slot_rope),
                 jnp.asarray(write_pos), jnp.asarray(self.slot_mask),
-                self.inject_buf, jnp.asarray(self.inject_on),
+                self.inject_k, self.inject_v,
+                jnp.asarray(self.inject_on),
                 jnp.asarray(self.slot_temp), jnp.asarray(self.slot_top_p),
                 jnp.asarray(self.slot_sample), self._next_key())
 

@@ -54,7 +54,7 @@ def main():
         args = (model.params["llm"], eng._inject_params, eng.cache,
                 jnp.asarray(eng.cur_tok), jnp.asarray(eng.slot_rope),
                 jnp.asarray(wp), jnp.asarray(eng.slot_mask),
-                eng.inject_buf, jnp.asarray(eng.inject_on),
+                eng.inject_k, eng.inject_v, jnp.asarray(eng.inject_on),
                 jnp.asarray(eng.slot_temp), jnp.asarray(eng.slot_top_p),
                 jnp.asarray(eng.slot_sample), eng._next_key())
         jax.block_until_ready(
@@ -79,13 +79,13 @@ def main():
     print(f"tick total        {(t_prep+t_exec+t_fetch)/n*1e3:7.1f} ms")
 
     # device-only: pre-staged args, scan-amortized over 5 ticks
-    def many(params, cache, tok, rope, wp, mask, ibuf, ion, te, tp, ds,
-             key):
+    def many(params, cache, tok, rope, wp, mask, ik, iv, ion, te, tp,
+             ds, key):
         def body(carry, i):
             cache, tok, rope, wp = carry
             outs, cache = eng._decode_steps(
                 params, eng._inject_params, cache, tok, rope, wp, mask,
-                ibuf, ion, te, tp, ds, jax.random.fold_in(key, i))
+                ik, iv, ion, te, tp, ds, jax.random.fold_in(key, i))
             return (cache, outs[-1], rope + 8, wp + 8), None
         (cache, tok, _, _), _ = jax.lax.scan(
             body, (cache, tok, rope, wp), jnp.arange(5))
@@ -95,7 +95,7 @@ def main():
     f = jax.jit(many, donate_argnums=(1,))
     args = (model.params["llm"], eng.cache, jnp.asarray(eng.cur_tok),
             jnp.asarray(eng.slot_rope), jnp.asarray(wp),
-            jnp.asarray(eng.slot_mask), eng.inject_buf,
+            jnp.asarray(eng.slot_mask), eng.inject_k, eng.inject_v,
             jnp.asarray(eng.inject_on), jnp.asarray(eng.slot_temp),
             jnp.asarray(eng.slot_top_p), jnp.asarray(eng.slot_sample),
             eng._next_key())
