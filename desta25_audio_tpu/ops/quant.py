@@ -332,3 +332,21 @@ def quantize_llm_params(params: Dict[str, Any]) -> Dict[str, Any]:
         out["lm_head"] = quantize_weight(jnp.transpose(params["embed"]),
                                          pad_out_to=2560)
     return out
+
+
+def quantize_orca_cross_attns(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Weight-only int8 for the ORCA gated cross-attention stack
+    (inference-time transform, like :func:`quantize_llm_params`).
+
+    Deep-injection decode streams every layer's q/k/v/o/gate matrices
+    each step (~2.8 GB/step bf16 at the Qwen3-4B flagship) — int8 halves
+    that.  ``ops.core.linear`` dispatches the quantized leaves through
+    the int8 MXU automatically, including inside
+    ``models.orca.precompute_cross_kv`` (where M=Ta sits in the
+    compute-bound W8A8 sweet spot).  LayerNorms stay full precision.
+    Do NOT save checkpoints from a quantized tree — this is a serving
+    transform, not a training state."""
+    layers = dict(params["layers"])
+    for k in ("q", "k", "v", "o", "gate1", "gate2"):
+        layers[k] = _quantize_stacked_linear(layers[k])
+    return {**params, "layers": layers}

@@ -86,6 +86,12 @@ def build_model(orca: bool = False):
         jax.random.PRNGKey(0))
     params = random_tree_like(jax.random.PRNGKey(1), lambda k: pshape,
                               scale=0.02)
+    if orca and "orca_cross_attns" in params:
+        # serving transform: int8 injection weights halve the ~2.8 GB/step
+        # gated-cross-attention weight stream (ops/quant.py)
+        from desta25_audio_tpu.ops.quant import quantize_orca_cross_attns
+        params["orca_cross_attns"] = jax.jit(quantize_orca_cross_attns)(
+            params["orca_cross_attns"])
     jax.block_until_ready(params)
     return DeSTA25AudioModel(cfg, params=params,
                              tokenizer=CharTokenizer())

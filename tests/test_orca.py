@@ -66,6 +66,44 @@ def test_orca_local_disabled(orca_cfg, rng):
     assert l is None and g.shape[1] == 4
 
 
+def test_gated_cross_attention_quant_and_cached_kv(orca_cfg, rng):
+    """Inference transforms must stay close to the full-precision math:
+    (a) precomputed cross-K/V (decode-loop-constant projections) is
+    exact up to dtype; (b) weight-only int8 injection (ops.quant.
+    quantize_orca_cross_attns) stays within quant tolerance."""
+    from desta25_audio_tpu.ops.quant import quantize_orca_cross_attns
+    cfg = orca_cfg
+    params = orca.init_orca_cross_attns(jax.random.PRNGKey(3), cfg,
+                                        dtype=jnp.float32)
+    lp0 = jax.tree.map(lambda x: x[0], params["layers"])
+    B, T, Ta = 2, 1, 12
+    D = cfg.llm_config.hidden_size
+    heads = cfg.llm_config.num_attention_heads
+    h = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32) * 0.2
+    audio = jnp.asarray(rng.standard_normal((B, Ta, D)),
+                        jnp.float32) * 0.2
+    ref = np.asarray(orca.gated_cross_attention_apply(
+        lp0, h, audio, heads), np.float32)
+
+    # cached K/V path == recompute path
+    ik, iv = orca.precompute_cross_kv(params, audio)
+    got = np.asarray(orca.gated_cross_attention_apply(
+        lp0, h, None, heads, cached_kv=(ik[0], iv[0])), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    # int8 weights stay close (and flow through both paths)
+    qparams = quantize_orca_cross_attns(params)
+    qlp0 = jax.tree.map(lambda x: x[0], qparams["layers"])
+    scale = np.abs(ref).max() + 1e-6
+    got_q = np.asarray(orca.gated_cross_attention_apply(
+        qlp0, h, audio, heads), np.float32)
+    assert np.abs(got_q - ref).max() / scale < 0.05
+    qik, qiv = orca.precompute_cross_kv(qparams, audio)
+    got_qc = np.asarray(orca.gated_cross_attention_apply(
+        qlp0, h, None, heads, cached_kv=(qik[0], qiv[0])), np.float32)
+    assert np.abs(got_qc - ref).max() / scale < 0.05
+
+
 def test_gated_cross_attention_torch_parity(orca_cfg, rng):
     """Our gated cross-attn must match an equivalent torch computation
     (MHA with packed in_proj + gate MLP + LN + fractional RoPE)."""
