@@ -134,6 +134,22 @@ def init_orca_cross_attns(key, cfg: DeSTA25Config,
     return {"layers": stack_layers(layers)}
 
 
+def _xattn_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Linear that routes int8 leaves (ops.quant.quantize_orca_cross_attns)
+    through quant_matmul: weight-only dequant-dot at decode shapes (M=B),
+    W8A8 at the precompute/prefill shapes (M>=128) — ops.core.linear's
+    int8 dispatch is act-quant-always, the wrong regime for per-step
+    decode projections."""
+    if "w" in p:
+        return linear(p, x)
+    from ..ops.quant import quant_matmul
+    y = quant_matmul(x, p)
+    if "b" in p:
+        y = (y.astype(jnp.float32)
+             + p["b"].astype(jnp.float32)).astype(y.dtype)
+    return y
+
+
 def gated_cross_attention_apply(
     p: Params,
     hidden: jnp.ndarray,        # [B, T, D]
@@ -147,22 +163,22 @@ def gated_cross_attention_apply(
 ) -> jnp.ndarray:
     B, T, D = hidden.shape
     dh = D // n_heads
-    q = linear(p["q"], hidden).reshape(B, T, n_heads, dh)
+    q = _xattn_linear(p["q"], hidden).reshape(B, T, n_heads, dh)
     if cached_kv is None:
         Ta = audio_roped.shape[1]
-        k = linear(p["k"], audio_roped).reshape(B, Ta, n_heads, dh)
-        v = linear(p["v"], audio_roped).reshape(B, Ta, n_heads, dh)
+        k = _xattn_linear(p["k"], audio_roped).reshape(B, Ta, n_heads, dh)
+        v = _xattn_linear(p["v"], audio_roped).reshape(B, Ta, n_heads, dh)
     else:
         kf, vf = cached_kv
         Ta = kf.shape[1]
         k = kf.astype(hidden.dtype).reshape(B, Ta, n_heads, dh)
         v = vf.astype(hidden.dtype).reshape(B, Ta, n_heads, dh)
     attn = mha(q, k, v).reshape(B, T, D)
-    attn = linear(p["o"], attn)
+    attn = _xattn_linear(p["o"], attn)
     attn = layer_norm(p["ln"], attn, eps=1e-5)
     gate = jax.nn.sigmoid(
-        linear(p["gate2"], gelu(linear(p["gate1"], hidden))
-               ).astype(jnp.float32))
+        _xattn_linear(p["gate2"], gelu(_xattn_linear(p["gate1"], hidden))
+                      ).astype(jnp.float32))
     return hidden + (gate * attn.astype(jnp.float32)).astype(hidden.dtype)
 
 
@@ -175,7 +191,8 @@ def precompute_cross_kv(orca_params: Params, audio_roped: jnp.ndarray):
     request turns ~L x 92 GFLOP/step of re-projection (flagship: 3.3
     TFLOP/step, dominating the 4B tower itself) into a one-time cost."""
     def one(lp):
-        return linear(lp["k"], audio_roped), linear(lp["v"], audio_roped)
+        return (_xattn_linear(lp["k"], audio_roped),
+                _xattn_linear(lp["v"], audio_roped))
 
     return jax.vmap(one)(orca_params["layers"])
 

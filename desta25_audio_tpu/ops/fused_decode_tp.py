@@ -594,23 +594,15 @@ def fused_tp_supported(params, cfg, cache) -> bool:
     return True
 
 
-def fused_decode_layers_tp(params, cfg, inputs_embeds, attention_mask,
-                           positions, cache, cache_index):
-    """One decode step, all layers, tensor-parallel over "model".
-
-    Same contract as ops.fused_decode.fused_decode_layers; the caller
-    must hold the mesh context, with the LLM layer weights sharded by
-    parallel.sharding.llm_partition_specs (head/ffn dims over "model")
-    and the KV cache sharded on its packed Hkv*Dh axis."""
-    from jax import shard_map
-
-    from ..parallel.mesh import current_mesh
-    mesh = current_mesh()
-    p = mesh.shape["model"]
+def _step_prologue(params, cfg, inputs_embeds, attention_mask,
+                   positions, cache, cache_index, p):
+    """Shared per-step prep for the per-layer drivers: padded input row
+    block, rope tables, additive key bias (keys < each row's write index
+    are valid — the in-flight current token is handled in-kernel), the
+    kernel meta/builders, and the layer-param subtree the kernels read."""
     B, T, D = inputs_embeds.shape
     assert T == 1
-    L, _, S, KVD = cache.k.shape
-    Hkv, Dh = cfg.num_key_value_heads, cfg.head_dim
+    S = cache.k.shape[2]
     ci_in = jnp.asarray(cache_index)
     ci = (jnp.broadcast_to(ci_in, (B,)) if ci_in.ndim == 0
           else ci_in).astype(jnp.int32)
@@ -627,8 +619,63 @@ def fused_decode_layers_tp(params, cfg, inputs_embeds, attention_mask,
     interpret = _interpret_mode()
     attn_call = _build_attn_call(m, interpret)
     mlp_call = _build_mlp_call(m, interpret)
-    layers = params["layers"]
-    ci_arg = ci.reshape(1, B)
+    keys = ["wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+            "ln1", "ln2"]
+    if m.qk_norm:
+        keys += ["q_norm", "k_norm"]
+    lsub = {k: params["layers"][k] for k in keys}
+    return (m, xp, cos, sin, bias, ci.reshape(1, B), lsub, attn_call,
+            mlp_call)
+
+
+def _make_layer_step(m, attn_call, mlp_call, cos, sin, bias, ci_arg,
+                     reduce_fn):
+    """One decoder layer as (attn half, mlp half) kernel calls; wo/w_down
+    outputs pass through ``reduce_fn`` (psum over "model" under TP,
+    identity at p=1) before the residual adds."""
+
+    def step(h, lp, kc_l, vc_l):
+        args = [h.astype(jnp.bfloat16), lp["ln1"]["scale"][None, :]]
+        if m.qk_norm:
+            args += [lp["q_norm"]["scale"][None, :],
+                     lp["k_norm"]["scale"][None, :]]
+        args += [cos.astype(jnp.float32), sin.astype(jnp.float32),
+                 bias, ci_arg]
+        args += [lp[k]["s"][None, :] for k in
+                 ("wq", "wk", "wv", "wo")]
+        args += [lp[k]["q"] for k in ("wq", "wk", "wv", "wo")]
+        args += [kc_l, vc_l]
+        attn_part, kc_l, vc_l = attn_call(*args)
+        h = h + reduce_fn(attn_part)
+        margs = [h.astype(jnp.bfloat16), lp["ln2"]["scale"][None, :],
+                 lp["w_up"]["s"][None, :],
+                 lp["w_gate"]["s"][None, :],
+                 lp["w_down"]["s"][None, :],
+                 lp["w_up"]["q"], lp["w_gate"]["q"],
+                 lp["w_down"]["q"]]
+        h = h + reduce_fn(mlp_call(*margs))
+        return h, kc_l, vc_l
+
+    return step
+
+
+def fused_decode_layers_tp(params, cfg, inputs_embeds, attention_mask,
+                           positions, cache, cache_index):
+    """One decode step, all layers, tensor-parallel over "model".
+
+    Same contract as ops.fused_decode.fused_decode_layers; the caller
+    must hold the mesh context, with the LLM layer weights sharded by
+    parallel.sharding.llm_partition_specs (head/ffn dims over "model")
+    and the KV cache sharded on its packed Hkv*Dh axis."""
+    from jax import shard_map
+
+    from ..parallel.mesh import current_mesh
+    mesh = current_mesh()
+    p = mesh.shape["model"]
+    B, _, D = inputs_embeds.shape
+    (m, xp, cos, sin, bias, ci_arg, lsub, attn_call, mlp_call) = \
+        _step_prologue(params, cfg, inputs_embeds, attention_mask,
+                       positions, cache, cache_index, p)
 
     # per-shard layer param specs mirror parallel.sharding._LLM_RULES
     shard_out = P(None, None, "model")   # [L, K, N] out-dim sharded
@@ -647,40 +694,23 @@ def fused_decode_layers_tp(params, cfg, inputs_embeds, attention_mask,
     if m.qk_norm:
         wspec["q_norm"] = {"scale": P(None, None)}
         wspec["k_norm"] = {"scale": P(None, None)}
-    lsub = {k: layers[k] for k in wspec}
     cache_spec = P(None, None, None, "model")
     rep = P(*([None] * 2))
 
     def local(lsub, xp, cos, sin, bias, ci_arg, kc, vc):
+        layer = _make_layer_step(m, attn_call, mlp_call, cos, sin, bias,
+                                 ci_arg,
+                                 lambda x: jax.lax.psum(x, "model"))
+
         def step(h, xs):
             lp, kc_l, vc_l = xs
-            args = [h.astype(jnp.bfloat16), lp["ln1"]["scale"][None, :]]
-            if m.qk_norm:
-                args += [lp["q_norm"]["scale"][None, :],
-                         lp["k_norm"]["scale"][None, :]]
-            args += [cos.astype(jnp.float32), sin.astype(jnp.float32),
-                     bias, ci_arg]
-            args += [lp[k]["s"][None, :] for k in
-                     ("wq", "wk", "wv", "wo")]
-            args += [lp[k]["q"] for k in ("wq", "wk", "wv", "wo")]
-            args += [kc_l, vc_l]
-            attn_part, kc_l, vc_l = attn_call(*args)
-            h = h + jax.lax.psum(attn_part, "model")
-            margs = [h.astype(jnp.bfloat16), lp["ln2"]["scale"][None, :],
-                     lp["w_up"]["s"][None, :],
-                     lp["w_gate"]["s"][None, :],
-                     lp["w_down"]["s"][None, :],
-                     lp["w_up"]["q"], lp["w_gate"]["q"],
-                     lp["w_down"]["q"]]
-            mlp_part = mlp_call(*margs)
-            h = h + jax.lax.psum(mlp_part, "model")
+            h, kc_l, vc_l = layer(h, lp, kc_l, vc_l)
             return h, (kc_l, vc_l)
 
         h0 = xp.astype(jnp.float32)
         h, (kcs, vcs) = jax.lax.scan(step, h0, (lsub, kc, vc))
         return h.astype(jnp.bfloat16), kcs, vcs
 
-    lspec = jax.tree.map(lambda _: None, lsub)
     lspec = {k: wspec[k] for k in lsub}
     h, newk, newv = shard_map(
         local, mesh=mesh,
@@ -718,8 +748,8 @@ def fused_perlayer_supported(params, cfg, cache) -> bool:
     injection math.  The real lever is injection INSIDE the kernel
     (stream the gated-cross-attention weights, audio KV in VMEM)."""
     import os
-    if os.environ.get("DESTA_FUSED_PERLAYER", "0") in ("0", "false"):
-        return False
+    if os.environ.get("DESTA_FUSED_PERLAYER", "0") != "1":
+        return False  # strict opt-in: anything but "1" keeps it off
     if os.environ.get("DESTA_FUSED_DECODE", "1") in ("0", "false"):
         return False
     from ..parallel.mesh import current_mesh
@@ -758,59 +788,23 @@ def fused_decode_layers_perlayer(params, cfg, inputs_embeds,
     applied between layers (ORCA deep injection).
 
     Same contract as ops.fused_decode.fused_decode_layers."""
-    B, T, D = inputs_embeds.shape
-    assert T == 1
-    L, _, S, KVD = cache.k.shape
-    ci_in = jnp.asarray(cache_index)
-    ci = (jnp.broadcast_to(ci_in, (B,)) if ci_in.ndim == 0
-          else ci_in).astype(jnp.int32)
-    cos, sin = llm_rope_cos_sin(cfg, positions.reshape(B))
-    key_idx = jnp.arange(S)[None, :]
-    valid = (attention_mask[:, :S] > 0) & (key_idx < ci[:, None])
-    bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
-    Mp = max(16, -(-B // 16) * 16)
-    xp = inputs_embeds.reshape(B, D).astype(jnp.bfloat16)
-    if Mp != B:
-        xp = jnp.pad(xp, ((0, Mp - B), (0, 0)))
-
-    m = _tp_meta(cfg, 1, B, S)
-    interpret = _interpret_mode()
-    attn_call = _build_attn_call(m, interpret)
-    mlp_call = _build_mlp_call(m, interpret)
-    layers = params["layers"]
-    ci_arg = ci.reshape(1, B)
-
-    keys = ["wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
-            "ln1", "ln2"]
-    if m.qk_norm:
-        keys += ["q_norm", "k_norm"]
-    lsub = {k: layers[k] for k in keys}
+    B, _, D = inputs_embeds.shape
+    L = cache.k.shape[0]
+    (m, xp, cos, sin, bias, ci_arg, lsub, attn_call, mlp_call) = \
+        _step_prologue(params, cfg, inputs_embeds, attention_mask,
+                       positions, cache, cache_index, 1)
+    # p=1: the "partial" sums are total — identity reduce
+    layer = _make_layer_step(m, attn_call, mlp_call, cos, sin, bias,
+                             ci_arg, lambda x: x)
 
     def step(h, xs):
         lp, kc_l, vc_l, idx = xs
-        args = [h.astype(jnp.bfloat16), lp["ln1"]["scale"][None, :]]
-        if m.qk_norm:
-            args += [lp["q_norm"]["scale"][None, :],
-                     lp["k_norm"]["scale"][None, :]]
-        args += [cos.astype(jnp.float32), sin.astype(jnp.float32),
-                 bias, ci_arg]
-        args += [lp[k]["s"][None, :] for k in ("wq", "wk", "wv", "wo")]
-        args += [lp[k]["q"] for k in ("wq", "wk", "wv", "wo")]
-        args += [kc_l, vc_l]
-        attn_part, kc_l, vc_l = attn_call(*args)
-        h = h + attn_part  # p=1: the "partial" sum is total
-        margs = [h.astype(jnp.bfloat16), lp["ln2"]["scale"][None, :],
-                 lp["w_up"]["s"][None, :],
-                 lp["w_gate"]["s"][None, :],
-                 lp["w_down"]["s"][None, :],
-                 lp["w_up"]["q"], lp["w_gate"]["q"],
-                 lp["w_down"]["q"]]
-        h = h + mlp_call(*margs)
+        h, kc_l, vc_l = layer(h, lp, kc_l, vc_l)
         if extra_layer_fn is not None:
             hb = extra_layer_fn(
                 idx, h[:B].reshape(B, 1, D).astype(jnp.bfloat16))
             hb = hb.reshape(B, D).astype(jnp.float32)
-            h = hb if Mp == B else h.at[:B].set(hb)
+            h = hb if m.Mp == B else h.at[:B].set(hb)
         return h, (kc_l, vc_l)
 
     h0 = xp.astype(jnp.float32)

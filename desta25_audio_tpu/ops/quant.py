@@ -341,12 +341,15 @@ def quantize_orca_cross_attns(params: Dict[str, Any]) -> Dict[str, Any]:
     Deep-injection decode streams every layer's q/k/v/o/gate matrices
     each step (~2.8 GB/step bf16 at the Qwen3-4B flagship) — int8 halves
     that.  ``ops.core.linear`` dispatches the quantized leaves through
-    the int8 MXU automatically, including inside
-    ``models.orca.precompute_cross_kv`` (where M=Ta sits in the
-    compute-bound W8A8 sweet spot).  LayerNorms stay full precision.
+    ``models.orca._xattn_linear`` routes the quantized leaves through
+    quant_matmul: weight-only dequant-dot at decode shapes, W8A8 at the
+    precompute/prefill shapes (M>=128).  LayerNorms and gate2 stay full
+    precision.
     Do NOT save checkpoints from a quantized tree — this is a serving
     transform, not a training state."""
     layers = dict(params["layers"])
-    for k in ("q", "k", "v", "o", "gate1", "gate2"):
+    # gate2 stays full precision: its weight is tiny (saves ~nothing) and
+    # it feeds the sigmoid gate scalar directly
+    for k in ("q", "k", "v", "o", "gate1"):
         layers[k] = _quantize_stacked_linear(layers[k])
     return {**params, "layers": layers}

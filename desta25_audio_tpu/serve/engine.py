@@ -175,6 +175,16 @@ class ContinuousBatchingEngine:
         # precompute_cross_kv).  [L, n_slots, Ta, D] x2, model dtype.
         n_inj_layers = (jax.tree.leaves(self._inject_params)[0].shape[0]
                         if self._inject_len else 1)
+        kv_bytes = (2 * n_inj_layers * n_slots * max(self._inject_len, 1)
+                    * d_llm * jnp.dtype(model.dtype).itemsize)
+        if kv_bytes > 4 << 30:
+            # flagship geometry: ~160 MB/slot (L=36, Ta~440, D=2560 bf16)
+            logger.warning(
+                "ORCA injection K/V buffers: %.1f GB at n_slots=%d — "
+                "the precomputed per-layer K/V trade HBM for the "
+                "~3.3 TFLOP/step re-projection they replace; lower "
+                "n_slots if this OOMs next to the tower weights",
+                kv_bytes / 2**30, n_slots)
         self.inject_k = jnp.zeros(
             (n_inj_layers, n_slots, max(self._inject_len, 1), d_llm),
             model.dtype)

@@ -79,12 +79,14 @@ def main():
     print(f"tick total        {(t_prep+t_exec+t_fetch)/n*1e3:7.1f} ms")
 
     # device-only: pre-staged args, scan-amortized over 5 ticks
-    def many(params, cache, tok, rope, wp, mask, ik, iv, ion, te, tp,
-             ds, key):
+    def many(params, inject_params, cache, tok, rope, wp, mask, ik, iv,
+             ion, te, tp, ds, key):
+        # inject_params rides as a jit ARGUMENT (CLAUDE.md: never close a
+        # jit over a big param tree — it bakes into the HLO)
         def body(carry, i):
             cache, tok, rope, wp = carry
             outs, cache = eng._decode_steps(
-                params, eng._inject_params, cache, tok, rope, wp, mask,
+                params, inject_params, cache, tok, rope, wp, mask,
                 ik, iv, ion, te, tp, ds, jax.random.fold_in(key, i))
             return (cache, outs[-1], rope + 8, wp + 8), None
         (cache, tok, _, _), _ = jax.lax.scan(
@@ -92,8 +94,9 @@ def main():
         return jnp.sum(tok), cache
 
     wp = eng.slot_pos.copy()
-    f = jax.jit(many, donate_argnums=(1,))
-    args = (model.params["llm"], eng.cache, jnp.asarray(eng.cur_tok),
+    f = jax.jit(many, donate_argnums=(2,))
+    args = (model.params["llm"], eng._inject_params, eng.cache,
+            jnp.asarray(eng.cur_tok),
             jnp.asarray(eng.slot_rope), jnp.asarray(wp),
             jnp.asarray(eng.slot_mask), eng.inject_k, eng.inject_v,
             jnp.asarray(eng.inject_on), jnp.asarray(eng.slot_temp),
@@ -103,7 +106,7 @@ def main():
     float(s)
     best = None
     for _ in range(3):
-        args = (model.params["llm"], cache) + args[2:]
+        args = (model.params["llm"], eng._inject_params, cache) + args[3:]
         t0 = time.time()
         s, cache = f(*args)
         float(s)
