@@ -89,8 +89,9 @@ class ContinuousBatchingEngine:
                  on_overflow: str = "error"):
         """n_slots=16 / steps_per_tick=8 defaults: measured on v5e-1 with
         the fused int8 decode kernel, in-kernel per-row cache writes and
-        the top-k candidate sampler — 8 slots 750 tok/s, 16 slots 1324,
-        32 slots 2368 (K=8; scripts/bench_serving_shaped.py).
+        the top-k candidate sampler — 8 slots ~780 tok/s, 16 slots
+        ~1450, 32 slots ~2550 (K=8; scripts/bench_serving_shaped.py,
+        r3 driver bench serving_tok_s_* keys).
         ``on_token(rid, token_id)`` streams tokens as they are accepted
         host-side (once per tick).
 
