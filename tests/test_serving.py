@@ -39,6 +39,20 @@ def _msgs(path, i):
              "audios": [{"audio": path, "text": f"tone {i}"}]}]
 
 
+def test_engine_cache_length_is_128_multiple(model):
+    """Every fused decode kernel requires S % 128 == 0; an unrounded
+    max_ctx + max_new (e.g. 304) silently dropped all ticks to the
+    ~2x-slower XLA path (round-3 load bench).  Pin the rounding."""
+    for max_ctx, max_new, spec in ((256, 48, 0), (128, 10, 0),
+                                   (256, 48, 4), (100, 28, 0)):
+        eng = ContinuousBatchingEngine(
+            model, n_slots=2, max_ctx=max_ctx, max_new_tokens=max_new,
+            ctx_bucket=64, speculative_k=spec)
+        assert eng.t_max % 128 == 0, (max_ctx, max_new, spec, eng.t_max)
+        assert eng.t_max >= max_ctx + max_new + spec
+        assert eng.cache.k.shape[2] == eng.t_max
+
+
 def test_engine_matches_one_shot_generate(model, wavs):
     MAX_NEW = 6
     # reference outputs: one-shot greedy generate per conversation
