@@ -50,7 +50,47 @@ def measure_rtt() -> float:
     return (time.time() - t0) / n
 
 
+def _backend_alive(attempts: int = 5, probe_timeout_s: int = 180) -> bool:
+    """Bounded backend-init probe in a SUBPROCESS.
+
+    The axon tunnel can wedge for hours if a client is killed
+    mid-remote-compile (see CLAUDE.md): jax.devices() then blocks
+    forever in THIS process too, which would hang the driver's bench
+    run.  Probing in a subprocess keeps the main process able to give
+    up and report an honest infra error as its one JSON line."""
+    import subprocess
+    import sys as _sys
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=probe_timeout_s, capture_output=True)
+            if b"ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"backend probe {i + 1}/{attempts} failed; retrying",
+              file=_sys.stderr)
+    return False
+
+
 def main():
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "audio-sec/s/chip (pallas-mel + whisper-large-v3 "
+                      "encoder + qformer-6L, bf16, batch 8)",
+            "value": 0,
+            "unit": "audio-sec/s/chip",
+            "vs_baseline": None,
+            "detail": {
+                "error": "TPU backend init timed out (axon tunnel wedge "
+                         "— see CLAUDE.md); last good driver run: see "
+                         "BENCH_r02.json and docs/perf_roofline.md "
+                         "round-3 headline numbers",
+            },
+        }))
+        return
     from desta25_audio_tpu.config import DeSTA25Config
     from desta25_audio_tpu.models import whisper as jw
     from desta25_audio_tpu.models.qformer import (
