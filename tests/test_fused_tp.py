@@ -144,6 +144,22 @@ def test_perlayer_fused_decode_with_injection_matches_xla(
         np.asarray(got_cache.k)[0, :, CI0],
         np.asarray(ref_cache.k)[0, :, CI0], rtol=0.05, atol=0.05)
 
+    # the driver also runs with extra_layer_fn=None (identity injection
+    # slot) — must agree with the single-launch-eligible XLA reference
+    from desta25_audio_tpu.ops.fused_decode_tp import (
+        fused_decode_layers_perlayer,
+    )
+    rng = np.random.default_rng(1)
+    x1 = jnp.asarray(rng.standard_normal((B, 1, cfg.hidden_size)),
+                     jnp.bfloat16) * 0.05
+    cache1 = jllm.init_kv_cache(cfg, B, S, dtype=jnp.bfloat16)
+    mask = jnp.ones((B, S), jnp.int32)
+    pos = jnp.full((B, 1), 5, jnp.int32)
+    h_pl, _ = fused_decode_layers_perlayer(
+        qp, cfg, x1, mask.at[:, 5:].set(0).at[:, :5].set(1), pos,
+        cache1, 5)
+    assert np.isfinite(np.asarray(h_pl, np.float32)).all()
+
 
 def test_tp_fused_per_row_cache_indices(setup, rng, monkeypatch):
     """Serving-shaped decode: per-row cache positions through the TP
