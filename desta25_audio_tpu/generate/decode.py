@@ -168,6 +168,22 @@ def llm_generate(
                 lp, h, None, inject_heads,
                 cached_kv=(inj_k[idx], inj_v[idx]))
 
+    # in-kernel injection for the decode loop: with an int8-quantized
+    # cross-attn stack the gated cross-attention runs inside the fused
+    # decode kernel (ops/fused_decode) instead of per-layer XLA between
+    # launches; prefill (T>1) keeps the XLA extra_layer_fn path
+    fused_spec = None
+    if inject_params is not None:
+        from ..ops.fused_decode import fused_inject_supported, pad_audio_kv
+        ta_real = inj_k.shape[2]
+        kp = pad_audio_kv(inj_k.astype(jnp.bfloat16))
+        if fused_inject_supported(inject_params, cfg, kp.shape[2]):
+            fused_spec = dict(
+                params=inject_params, k=kp,
+                v=pad_audio_kv(inj_v.astype(jnp.bfloat16)),
+                ta_real=ta_real, heads=inject_heads,
+                on=jnp.ones((B,), jnp.float32))
+
     # Round the cache up to a 128 multiple: the fused decode kernel tiles
     # the KV stream in 128-lane blocks (extra positions are mask-dead).
     Tmax = -(-(T + max_new_tokens) // 128) * 128
@@ -217,7 +233,8 @@ def llm_generate(
             params, cfg, input_ids=s["cur"][:, None],
             attention_mask=mask, positions=s["pos"][:, None],
             cache=s["cache"], cache_index=write_idx, lora=lora,
-            lora_scale=lora_scale, extra_layer_fn=extra_layer_fn)
+            lora_scale=lora_scale, extra_layer_fn=extra_layer_fn,
+            fused_injection=fused_spec)
         key, sub = jax.random.split(s["key"])
         nxt = sample_token(logits[:, -1], sub, temperature, top_p, do_sample)
         nxt = jnp.where(s["done"], pad_id, nxt)

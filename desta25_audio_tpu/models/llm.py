@@ -281,6 +281,7 @@ def llm_apply(
     lora_rng: Optional[jax.Array] = None,
     extra_layer_fn=None,
     extra_aux_init=None,
+    fused_injection=None,
     return_hidden: bool = False,
     remat: bool = False,
     skip_head: bool = False,
@@ -339,6 +340,32 @@ def llm_apply(
         if positions is None:
             positions = jnp.maximum(
                 jnp.cumsum(attention_mask, axis=1) - 1, 0)
+
+    # In-kernel deep injection: T==1 cached ORCA decode with quantized
+    # tower AND quantized injection q/o/gate1 runs the gated
+    # cross-attention INSIDE the single-launch kernel (audio K/V stream
+    # through VMEM ring buffers; the per-layer XLA injection cost ~10 ms
+    # of a 22 ms step at the Qwen3-4B flagship).  ``fused_injection`` is
+    # the structured spec (ops/fused_decode._run_fused docstring); the
+    # caller still passes extra_layer_fn as the fallback.
+    if (cache is not None and T == 1 and lora is None
+            and fused_injection is not None and extra_aux_init is None
+            and not return_hidden):
+        from ..ops.fused_decode import (
+            fused_decode_layers,
+            fused_inject_supported,
+            fused_supported,
+        )
+        if (fused_supported(params, cfg, cache)
+                and fused_inject_supported(
+                    fused_injection["params"], cfg,
+                    fused_injection["k"].shape[2])):
+            hidden_pre, new_cache = fused_decode_layers(
+                params, cfg, x, attention_mask, positions, cache,
+                cache_index, inject=fused_injection)
+            hidden = rms_norm(params["norm"], hidden_pre, cfg.rms_norm_eps)
+            logits = _head_logits(params, cfg, hidden, w8a8)
+            return logits, new_cache, None
 
     # Fused single-kernel decode: T==1 cached steps with quantized weights
     # and no LoRA / deep injection route through ops/fused_decode (one

@@ -32,12 +32,26 @@ Numerics mirror the XLA scan path (models/llm.py): bf16 residual stream,
 f32 matmul accumulation and softmax, bf16 P@V.  Replaces the decode loop
 of the reference's HF ``generate`` (modeling_desta25.py:1419-1427).
 
+ORCA deep injection can run INSIDE the kernel: with an int8-quantized
+gated cross-attention stack (ops/quant.quantize_orca_cross_attns), each
+grid step appends inj_q -> audio cross-attention -> inj_o -> LayerNorm ->
+gate to the layer (reference semantics modeling_desta25.py:359-490).
+The inj_q/inj_o/gate1 weights ride the SAME int8 DMA ring as the tower
+projections; the precomputed per-layer audio K/V ([L, B, Ta, D],
+decode-loop constants — models/orca.py precompute_cross_kv) stream
+through dedicated VMEM ring buffers.  Since the injection head dim
+(D / n_heads, e.g. 80 on Qwen3-4B) usually isn't lane-aligned, per-head
+scores come from one MXU dot of the elementwise q*k product against a
+[D, 128] head-indicator matrix (a block segment-sum), and P is broadcast
+back to lanes the same way — no sub-128 lane slicing anywhere.
+
 Dispatch: ``models.llm.llm_apply`` routes T==1 cached steps here when the
-LLM weights are int8-quantized, there is no LoRA / ORCA injection / mesh,
-and the shapes tile cleanly (see :func:`fused_supported`).  Set
-``DESTA_FUSED_DECODE=0`` to force the XLA path;
-``DESTA_FUSED_INTERPRET=1`` runs the kernel through the TPU interpreter
-(CPU tests).
+LLM weights are int8-quantized, there is no LoRA / mesh, and the shapes
+tile cleanly (see :func:`fused_supported`); ORCA injection joins the
+kernel when :func:`fused_inject_supported` also holds, and otherwise
+falls back to per-layer XLA injection.  Set ``DESTA_FUSED_DECODE=0`` to
+force the XLA path; ``DESTA_FUSED_INTERPRET=1`` runs the kernel through
+the TPU interpreter (CPU tests).
 """
 
 from __future__ import annotations
@@ -75,6 +89,12 @@ class _Meta(NamedTuple):
     S: int
     s_blk: int
     tiles: Tuple[Tuple[int, int], ...]
+    # ORCA deep injection (in-kernel gated cross-attention per layer):
+    inj: bool = False
+    Ta: int = 0        # padded audio-token count (multiple of 8)
+    Ta_real: int = 0   # valid audio tokens (rows >= Ta_real are masked)
+    Dg: int = 0        # gate1 hidden dim (D // 4 in the reference)
+    Hi: int = 0        # injection heads (LLM heads; head dim = D // Hi)
 
 
 # ---------------------------------------------------------------------------
@@ -88,6 +108,17 @@ def _stage_dims(D, H, Hkv, Dh, I):
     HDh, KVD = H * Dh, Hkv * Dh
     return [(D, HDh), (D, KVD), (D, KVD), (HDh, D),
             (D, I), (D, I), (I, D)]
+
+
+def _meta_dims(m: "_Meta"):
+    """All streamed-weight stages: the 7 tower projections plus, with
+    in-kernel ORCA injection, inj_q / inj_o / inj_gate1 (the injection
+    k/v projections never stream — audio K/V are decode-loop constants,
+    precomputed per request; models/orca.py precompute_cross_kv)."""
+    dims = _stage_dims(m.D, m.H, m.Hkv, m.Dh, m.I)
+    if m.inj:
+        dims += [(m.D, m.D), (m.D, m.D), (m.D, m.Dg)]
+    return dims
 
 
 def _pick_tile(K, N):
@@ -104,9 +135,12 @@ def _pick_tile(K, N):
     return best
 
 
-def _stage_tiles(D, H, Hkv, Dh, I):
+def _stage_tiles(D, H, Hkv, Dh, I, inj_dg: int = 0):
+    dims = _stage_dims(D, H, Hkv, Dh, I)
+    if inj_dg:
+        dims += [(D, D), (D, D), (D, inj_dg)]
     tiles = []
-    for K, N in _stage_dims(D, H, Hkv, Dh, I):
+    for K, N in dims:
         t = _pick_tile(K, N)
         if t is None:
             return None
@@ -183,7 +217,8 @@ def _make_kernel(m: _Meta):
     nst = m.S // m.s_blk
     kv_total = m.B * nst
     att_scale = m.Dh ** -0.5
-    dims = _stage_dims(m.D, m.H, m.Hkv, m.Dh, m.I)
+    dims = _meta_dims(m)
+    n_st = len(dims)
     offs, totals = [], []
     off = 0
     for (K, N), (bk, bn) in zip(dims, m.tiles):
@@ -201,17 +236,30 @@ def _make_kernel(m: _Meta):
             i += 2
         cos, sin, bias, ci = refs[i:i + 4]
         i += 4
-        s_refs = refs[i:i + 7]
-        i += 7
-        w_refs = refs[i:i + 7]
-        i += 7
+        if m.inj:
+            inj_on, bq, bo, bg1, wg2, bg2, lns, lnb = refs[i:i + 8]
+            i += 8
+        s_refs = refs[i:i + n_st]
+        i += n_st
+        w_refs = refs[i:i + n_st]
+        i += n_st
+        if m.inj:
+            ka, va = refs[i:i + 2]
+            i += 2
         kc, vc = refs[i:i + 2]
         i += 2
         h_out, kc_out, vc_out = refs[i:i + 3]
         i += 3
         (h, xn, qs, ks, vs, qpad, scores, ofull, attn, mid, acc,
-         wbuf, kvbuf, kwbuf, vwbuf, wsem, kvsem, krsem, vrsem, kwsem,
-         vwsem) = refs[i:]
+         wbuf, kvbuf, kwbuf, vwbuf) = refs[i:i + 15]
+        i += 15
+        if m.inj:
+            iq, iat, iao, ig, imind, kabuf, vabuf = refs[i:i + 7]
+            i += 7
+        (wsem, kvsem, krsem, vrsem, kwsem, vwsem) = refs[i:i + 6]
+        i += 6
+        if m.inj:
+            kasem, vasem = refs[i:i + 2]
 
         l = pl.program_id(0)
         RING = _W_RING
@@ -235,7 +283,7 @@ def _make_kernel(m: _Meta):
         def start_local(l_idx, g, lo, hi):
             """Start layer-local tile index g (traced, g in [lo, hi]
             statically) — static pruning picks the candidate stages."""
-            for sj in range(7):
+            for sj in range(n_st):
                 s0, s1 = offs[sj], offs[sj] + totals[sj]
                 if s1 <= lo or s0 > hi:
                     continue
@@ -261,6 +309,19 @@ def _make_kernel(m: _Meta):
             qpad[:] = jnp.zeros_like(qpad)
             if m.Mp > R:
                 attn[R:, :] = jnp.zeros((m.Mp - R, HDh), attn.dtype)
+            if m.inj:
+                # head-indicator matrix: imind[d, h2] = 1 iff lane d
+                # belongs to injection head h2.  Head dim D/Hi is often
+                # NOT 128 (Qwen3-4B: 80), so per-head lane slices don't
+                # tile; instead scores come from one [Ta, D] x [D, 128]
+                # MXU dot of the elementwise q*k product against this
+                # indicator (a block-segment-sum on the MXU).
+                di = jax.lax.broadcasted_iota(jnp.int32, (m.D, 128), 0)
+                hi2 = jax.lax.broadcasted_iota(jnp.int32, (m.D, 128), 1)
+                imind[:] = (di // (m.D // m.Hi) == hi2).astype(
+                    jnp.bfloat16)
+                if m.Mp > R:
+                    iat[R:, :] = jnp.zeros((m.Mp - R, m.D), iat.dtype)
 
         kv_dma(kc, l, 0, 0).start()
 
@@ -539,9 +600,107 @@ def _make_kernel(m: _Meta):
         # ---- wo + residual, MLP ------------------------------------------
         run_stage(3, attn, resid(m.tiles[3][1]))
         xn[:] = rmsn(h[:], ln2)
+        if m.inj:
+            # audio K/V stream for the injection phase: start rows 0/1
+            # here so the [Ta, D] DMAs hide under the MLP weight stream
+            def ka_dma(src, buf, b, slot, sem):
+                return pltpu.make_async_copy(
+                    src.at[l, b], buf.at[slot], sem.at[slot])
+
+            ka_dma(ka, kabuf, 0, 0, kasem).start()
+            ka_dma(va, vabuf, 0, 0, vasem).start()
+            if m.B > 1:
+                ka_dma(ka, kabuf, 1, 1, kasem).start()
+                ka_dma(va, vabuf, 1, 1, vasem).start()
         run_stage(4, xn, store_to(mid, m.tiles[4][1]))   # up
         run_stage(5, xn, swiglu(m.tiles[5][1]))          # gate
         run_stage(6, mid, resid(m.tiles[6][1]))          # down
+
+        # ---- ORCA gated cross-attention (deep injection) -----------------
+        # h' = h + on * sigmoid(g2(gelu(g1 h))) * LN(Wo MHA(Wq h, Ka, Va))
+        # (models/orca.py gated_cross_attention_apply; reference
+        # modeling_desta25.py:359-490).  Audio K/V are precomputed
+        # decode-loop constants streamed per (layer, row); only the
+        # q / o / gate1 weights ride the int8 ring.
+        if m.inj:
+            inj_scale = (m.D // m.Hi) ** -0.5
+
+            def ibias(ref, bn):
+                def f(n, val):
+                    return val + ref[0, :, pl.ds(n * bn, bn)].astype(
+                        jnp.float32)
+                return f
+
+            bq_f = ibias(bq, m.tiles[7][1])
+            run_stage(7, h, lambda n, val: iq.__setitem__(
+                (slice(None), pl.ds(n * m.tiles[7][1], m.tiles[7][1])),
+                bq_f(n, val).astype(jnp.bfloat16)))
+
+            # per-row attention over the audio tokens.  Scores for all
+            # heads in one MXU dot: (k ⊙ q_row) @ indicator -> [Ta, 128]
+            # (cols >= Hi are dead).  Softmax over the Ta sublanes.
+            tmask = jax.lax.broadcasted_iota(
+                jnp.int32, (m.Ta, 128), 0) < m.Ta_real
+            for b in range(m.B):
+                slot = b % 2
+                pltpu.make_async_copy(
+                    ka.at[l, b], kabuf.at[slot], kasem.at[slot]).wait()
+                qrow = iq[b:b + 1, :].astype(jnp.float32)       # [1, D]
+                kab = kabuf[slot].astype(jnp.float32)           # [Ta, D]
+                mq = (kab * qrow).astype(jnp.bfloat16)
+                sc = jnp.dot(mq, imind[:],
+                             preferred_element_type=jnp.float32)
+                sc = sc * inj_scale
+                sc = jnp.where(tmask, sc, jnp.float32(-1e30))
+                mx = jnp.max(sc, axis=0, keepdims=True)
+                e = jnp.exp(sc - mx)
+                den = jnp.sum(e, axis=0, keepdims=True)
+                p = (e / den).astype(jnp.bfloat16)              # [Ta, 128]
+                # broadcast per-head probs back to lanes: [Ta, D]
+                pf = jax.lax.dot_general(
+                    p, imind[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16)
+                pltpu.make_async_copy(
+                    va.at[l, b], vabuf.at[slot], vasem.at[slot]).wait()
+                ov = jnp.sum((pf * vabuf[slot]).astype(jnp.float32),
+                             axis=0, keepdims=True)             # [1, D]
+                iat[b:b + 1, :] = ov.astype(jnp.bfloat16)
+                if b + 2 < m.B:
+                    pltpu.make_async_copy(
+                        ka.at[l, b + 2], kabuf.at[slot],
+                        kasem.at[slot]).start()
+                    pltpu.make_async_copy(
+                        va.at[l, b + 2], vabuf.at[slot],
+                        vasem.at[slot]).start()
+
+            bo_f = ibias(bo, m.tiles[8][1])
+            run_stage(8, iat, lambda n, val: iao.__setitem__(
+                (slice(None), pl.ds(n * m.tiles[8][1], m.tiles[8][1])),
+                bo_f(n, val).astype(jnp.bfloat16)))
+
+            from .enc_ffn import _gelu_f32
+            bg_f = ibias(bg1, m.tiles[9][1])
+            run_stage(9, h, lambda n, val: ig.__setitem__(
+                (slice(None), pl.ds(n * m.tiles[9][1], m.tiles[9][1])),
+                _gelu_f32(bg_f(n, val).astype(jnp.bfloat16).astype(
+                    jnp.float32)).astype(jnp.bfloat16)))
+
+            # gate2 matvec (VPU) + sigmoid; LayerNorm(eps=1e-5) of the
+            # o-projection; gated residual (contribution rounded to bf16
+            # before the add — bit-matches the XLA path's cast order)
+            gs = jnp.sum(ig[:].astype(jnp.float32)
+                         * wg2[0].astype(jnp.float32),
+                         axis=-1, keepdims=True)
+            gs = gs + bg2[0][:, :1].astype(jnp.float32)
+            gate = jax.nn.sigmoid(gs)                           # [Mp, 1]
+            xo = iao[:].astype(jnp.float32)
+            mu = jnp.mean(xo, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xo - mu), axis=-1, keepdims=True)
+            lno = ((xo - mu) * jax.lax.rsqrt(var + 1e-5)
+                   * lns[0].astype(jnp.float32)
+                   + lnb[0].astype(jnp.float32))
+            contrib = (gate * lno).astype(jnp.bfloat16)
+            h[:] = h[:] + inj_on[:].astype(jnp.bfloat16)[:, :1] * contrib
 
         @pl.when(l == m.L - 1)
         def _():
@@ -585,10 +744,33 @@ def _build_call(m: _Meta, interpret: bool):
         pl.BlockSpec((m.B, m.S), lambda l: (0, 0), memory_space=vm),  # bias
         pl.BlockSpec(memory_space=pltpu.SMEM),                         # ci
     ]
-    for _, N in _stage_dims(m.D, m.H, m.Hkv, m.Dh, m.I):
+    dims = _meta_dims(m)
+    if m.inj:
+        in_specs += [
+            pl.BlockSpec((m.Mp, 128), lambda l: (0, 0),
+                         memory_space=vm),                      # inj_on
+            pl.BlockSpec((1, 1, m.D), lambda l: (l, 0, 0),
+                         memory_space=vm),                      # bq
+            pl.BlockSpec((1, 1, m.D), lambda l: (l, 0, 0),
+                         memory_space=vm),                      # bo
+            pl.BlockSpec((1, 1, m.Dg), lambda l: (l, 0, 0),
+                         memory_space=vm),                      # bg1
+            pl.BlockSpec((1, 1, m.Dg), lambda l: (l, 0, 0),
+                         memory_space=vm),                      # wg2
+            pl.BlockSpec((1, 1, 128), lambda l: (l, 0, 0),
+                         memory_space=vm),                      # bg2
+            pl.BlockSpec((1, 1, m.D), lambda l: (l, 0, 0),
+                         memory_space=vm),                      # ln scale
+            pl.BlockSpec((1, 1, m.D), lambda l: (l, 0, 0),
+                         memory_space=vm),                      # ln bias
+        ]
+    for _, N in dims:
         in_specs.append(
             pl.BlockSpec((1, 1, N), lambda l: (l, 0, 0), memory_space=vm))
-    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 9  # 7 weights + k + v
+    # weights (ANY) + [audio K/V when injecting] + cache k/v (ANY, last
+    # two so the input->output aliases below stay positional)
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
+        len(dims) + (2 if m.inj else 0) + 2)
 
     out_shape = [
         jax.ShapeDtypeStruct((m.Mp, m.D), bf16),
@@ -620,6 +802,18 @@ def _build_call(m: _Meta, interpret: bool):
         pltpu.VMEM((2, m.s_blk, KVD), bf16),      # kvbuf
         pltpu.VMEM((m.B, W, KVD), bf16),          # kwbuf (k cache RMW)
         pltpu.VMEM((m.B, W, KVD), bf16),          # vwbuf (v cache RMW)
+    ]
+    if m.inj:
+        scratch += [
+            pltpu.VMEM((m.Mp, m.D), bf16),        # iq (inj q rows)
+            pltpu.VMEM((m.Mp, m.D), bf16),        # iat (inj attn rows)
+            pltpu.VMEM((m.Mp, m.D), bf16),        # iao (inj o-proj out)
+            pltpu.VMEM((m.Mp, m.Dg), bf16),       # ig (gelu(gate1))
+            pltpu.VMEM((m.D, 128), bf16),         # imind (head indicator)
+            pltpu.VMEM((2, m.Ta, m.D), bf16),     # kabuf
+            pltpu.VMEM((2, m.Ta, m.D), bf16),     # vabuf
+        ]
+    scratch += [
         pltpu.SemaphoreType.DMA((_W_RING,)),      # wsem
         pltpu.SemaphoreType.DMA((2,)),            # kvsem
         pltpu.SemaphoreType.DMA((m.B,)),          # krsem
@@ -627,6 +821,11 @@ def _build_call(m: _Meta, interpret: bool):
         pltpu.SemaphoreType.DMA((m.B,)),          # kwsem
         pltpu.SemaphoreType.DMA((m.B,)),          # vwsem
     ]
+    if m.inj:
+        scratch += [
+            pltpu.SemaphoreType.DMA((2,)),        # kasem
+            pltpu.SemaphoreType.DMA((2,)),        # vasem
+        ]
     return pl.pallas_call(
         _make_kernel(m),
         grid=(m.L,),
@@ -648,12 +847,18 @@ def _build_call(m: _Meta, interpret: bool):
 
 
 def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
-               cache, cache_index):
+               cache, cache_index, inject=None):
     """Shared driver for the fused decode (Kd=1) / verify (Kd>1) step.
 
     inputs_embeds [B, Kd, D]; positions [B, Kd]; cache_index scalar or
     [B] (position of each row's FIRST token).  Returns
     (hidden [B, Kd, D] bf16 pre-final-norm, new KVCache).
+
+    inject: optional in-kernel ORCA deep injection (Kd must be 1) — a
+    dict with ``params`` (int8-quantized orca_cross_attns tree), ``k`` /
+    ``v`` ([L, B, Ta, D] audio K/V, Ta padded to a multiple of 8),
+    ``ta_real`` (valid audio tokens, static), ``heads`` (static) and
+    ``on`` ([B] float, 1.0 = inject this row).
     """
     B, Kd, D = inputs_embeds.shape
     R = B * Kd
@@ -676,6 +881,16 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
     if Mp != R:
         xp = jnp.pad(xp, ((0, Mp - R), (0, 0)))
 
+    inj = inject is not None
+    if inj:
+        assert Kd == 1, "in-kernel injection supports Kd == 1 only"
+        il = inject["params"]["layers"]
+        Dg = il["gate1"]["q"].shape[2]
+        Ta = inject["k"].shape[2]
+        assert Ta % 8 == 0, "audio K/V must be padded to a multiple of 8"
+    else:
+        Dg = Ta = 0
+
     layers = params["layers"]
     meta = _Meta(
         L=L, D=D, H=cfg.num_attention_heads, Hkv=Hkv, Dh=Dh,
@@ -683,7 +898,9 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
         eps=float(cfg.rms_norm_eps), B=B, Kd=Kd, Mp=Mp, S=S,
         s_blk=_pick_sblk(S, Hkv * Dh),
         tiles=_stage_tiles(D, cfg.num_attention_heads, Hkv, Dh,
-                           cfg.intermediate_size))
+                           cfg.intermediate_size, inj_dg=Dg),
+        inj=inj, Ta=Ta, Ta_real=int(inject["ta_real"]) if inj else 0,
+        Dg=Dg, Hi=int(inject["heads"]) if inj else 0)
     call = _build_call(meta, _interpret_mode())
 
     args = [xp, layers["ln1"]["scale"][:, None, :],
@@ -694,8 +911,31 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
     args += [cos.astype(jnp.float32), sin.astype(jnp.float32), bias,
              ci.reshape(1, B)]
     wkeys = ("wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down")
+    if inj:
+        on = jnp.zeros((Mp, 128), jnp.float32).at[:B, :].set(
+            jnp.broadcast_to(
+                jnp.asarray(inject["on"], jnp.float32)[:, None], (B, 128)))
+        g2w = jnp.swapaxes(il["gate2"]["w"], 1, 2).astype(jnp.float32)
+        g2b = jnp.broadcast_to(
+            il["gate2"]["b"].astype(jnp.float32)[:, :, None], (L, 1, 128))
+        args += [
+            on,
+            il["q"]["b"].astype(jnp.float32)[:, None, :],
+            il["o"]["b"].astype(jnp.float32)[:, None, :],
+            il["gate1"]["b"].astype(jnp.float32)[:, None, :],
+            g2w,                                   # [L, 1, Dg]
+            g2b,                                   # [L, 1, 128]
+            il["ln"]["scale"].astype(jnp.float32)[:, None, :],
+            il["ln"]["bias"].astype(jnp.float32)[:, None, :],
+        ]
     args += [layers[k]["s"][:, None, :] for k in wkeys]
+    if inj:
+        args += [il[k]["s"][:, None, :] for k in ("q", "o", "gate1")]
     args += [layers[k]["q"] for k in wkeys]
+    if inj:
+        args += [il[k]["q"] for k in ("q", "o", "gate1")]
+        args += [inject["k"].astype(jnp.bfloat16),
+                 inject["v"].astype(jnp.bfloat16)]
     args += [cache.k, cache.v]  # packed [L, B, S, Hkv*Dh] — kernel-native
 
     # cache rows are written IN-KERNEL (aligned W-row RMW, cache aliased
@@ -706,16 +946,64 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
 
 
 def fused_decode_layers(params, cfg, inputs_embeds, attention_mask,
-                        positions, cache, cache_index):
+                        positions, cache, cache_index, inject=None):
     """One decode step through all layers.
 
     inputs_embeds [B, 1, D]; attention_mask [B, >=S]; positions [B, 1];
     cache: packed KVCache [L, B, S, Hkv*Dh]; cache_index: scalar or [B].
+    inject: optional in-kernel ORCA deep injection (see :func:`_run_fused`).
     Returns (hidden [B, 1, D] bf16 pre-final-norm, new KVCache).
     """
     assert inputs_embeds.shape[1] == 1
     return _run_fused(params, cfg, inputs_embeds, attention_mask,
-                      positions, cache, cache_index)
+                      positions, cache, cache_index, inject=inject)
+
+
+_INJ_KV_VMEM_BUDGET = 24 * 1024 * 1024  # 4 x [Ta, D] bf16 ring buffers
+
+
+def fused_inject_supported(inject_params, cfg, ta_padded: int) -> bool:
+    """Can the ORCA gated cross-attention run INSIDE the fused decode
+    kernel?  Requires int8-quantized q/o/gate1 stacks (with biases), the
+    full-precision gate2 + LayerNorm leaves, clean tiling for the two
+    D x D and the D x (D/4) streamed stages, and audio K/V ring buffers
+    that fit VMEM.  ``ta_padded`` is the (8-aligned) audio-token count."""
+    if inject_params is None:
+        return False
+    from .quant import is_quantized
+    layers = inject_params.get("layers", {})
+    for k in ("q", "o", "gate1"):
+        leaf = layers.get(k)
+        if not (is_quantized(leaf) and "b" in leaf):
+            return False
+    g2, ln = layers.get("gate2"), layers.get("ln")
+    if not (isinstance(g2, dict) and "w" in g2 and "b" in g2):
+        return False
+    if not (isinstance(ln, dict) and "scale" in ln and "bias" in ln):
+        return False
+    D = cfg.hidden_size
+    H = cfg.num_attention_heads
+    Dg = layers["gate1"]["q"].shape[2]
+    if D % H != 0 or H > 128:
+        return False
+    if _pick_tile(D, D) is None or _pick_tile(D, Dg) is None:
+        return False
+    if ta_padded <= 0 or ta_padded % 8 != 0:
+        return False
+    if 4 * ta_padded * D * 2 > _INJ_KV_VMEM_BUDGET:
+        return False
+    return True
+
+
+def pad_audio_kv(kv: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the Ta axis of [L, B, Ta, D] audio K/V to a multiple of 8
+    (DMA sublane tiling); padded rows are masked out of the in-kernel
+    softmax via ``ta_real``."""
+    Ta = kv.shape[2]
+    pad = (-Ta) % 8
+    if pad:
+        kv = jnp.pad(kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return kv
 
 
 def fused_verify_layers(params, cfg, inputs_embeds, attention_mask,

@@ -186,9 +186,13 @@ class ContinuousBatchingEngine:
                 "~3.3 TFLOP/step re-projection they replace; lower "
                 "n_slots if this OOMs next to the tower weights",
                 kv_bytes / 2**30, n_slots)
+        # buffers are 8-row padded on the Ta axis (the fused in-kernel
+        # injection DMAs [Ta, D] blocks, which need sublane-aligned
+        # shapes); padded rows stay zero and are masked in-kernel, and
+        # the XLA fallback slices back to the real length
+        ta_pad = -(-max(self._inject_len, 1) // 8) * 8
         self.inject_k = jnp.zeros(
-            (n_inj_layers, n_slots, max(self._inject_len, 1), d_llm),
-            model.dtype)
+            (n_inj_layers, n_slots, ta_pad, d_llm), model.dtype)
         self.inject_v = jnp.zeros_like(self.inject_k)
         self.inject_on = np.zeros(n_slots, np.float32)
 
@@ -235,6 +239,10 @@ class ContinuousBatchingEngine:
             return None
         from ..models.orca import gated_cross_attention_apply
         heads = self.cfg.num_attention_heads
+        # buffers may be Ta-padded for the fused kernel; the XLA math
+        # attends over the real rows only (no mask in the reference MHA)
+        inj_k = inj_k[:, :, :self._inject_len]
+        inj_v = inj_v[:, :, :self._inject_len]
 
         def fn(idx, h):
             lp = jax.tree.map(lambda x: x[idx], inject_params["layers"])
@@ -289,6 +297,19 @@ class ContinuousBatchingEngine:
         eos = (jnp.asarray(sorted(self._eos), jnp.int32)
                if self._eos else None)
         extra = self._inject_fn(inject_params, inj_k, inj_v, inject_on)
+        fspec = None
+        if self._inject_len:
+            from ..ops.fused_decode import fused_inject_supported
+            if fused_inject_supported(inject_params, self.cfg,
+                                      inj_k.shape[2]):
+                # in-kernel gated cross-attention: the injection runs
+                # inside the single-launch fused kernel (weights on the
+                # int8 ring, audio K/V through VMEM ring buffers) instead
+                # of per-layer XLA between launches
+                fspec = dict(params=inject_params, k=inj_k, v=inj_v,
+                             ta_real=self._inject_len,
+                             heads=self.cfg.num_attention_heads,
+                             on=inject_on)
         t_idx = jnp.arange(self.t_max)
 
         def body(carry, step):
@@ -303,7 +324,7 @@ class ContinuousBatchingEngine:
                 cache=cache, cache_index=write_pos + step,
                 lora=params.get("lora"),
                 lora_scale=self.model.config.lora_scale,
-                extra_layer_fn=extra)
+                extra_layer_fn=extra, fused_injection=fspec)
             nxt = sample_token_dynamic(
                 logits[:, -1].astype(jnp.float32),
                 jax.random.fold_in(key, step), temp, top_p, do_sample)
@@ -522,7 +543,7 @@ class ContinuousBatchingEngine:
         mask = np.zeros((Rp, Tb), np.int32)
         for i, r in enumerate(reqs):
             mask[i, Tb - r.ctx_len:] = 1
-        Ta = self.inject_k.shape[2]
+        Ta = max(self._inject_len, 1)
         zero_inject = jnp.zeros((1, Ta, D), dtype)
         inject_kv = jnp.concatenate(
             [r.inject if r.inject is not None else zero_inject
@@ -548,8 +569,11 @@ class ContinuousBatchingEngine:
             self.cache.k.at[:, sl].set(k_all[:, :R]),
             self.cache.v.at[:, sl].set(v_all[:, :R]))
         if self._inject_len:
-            self.inject_k = self.inject_k.at[:, sl].set(inj_k[:, :R])
-            self.inject_v = self.inject_v.at[:, sl].set(inj_v[:, :R])
+            # buffers are Ta-padded (8-aligned); write the real rows only
+            self.inject_k = self.inject_k.at[
+                :, sl, :self._inject_len].set(inj_k[:, :R])
+            self.inject_v = self.inject_v.at[
+                :, sl, :self._inject_len].set(inj_v[:, :R])
         tok = np.asarray(tok)
         last_pos = np.asarray(last_pos)
         if self.speculative_k:
