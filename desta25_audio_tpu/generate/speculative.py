@@ -90,7 +90,7 @@ def ngram_propose(hist: jnp.ndarray, hlen: jnp.ndarray,
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_ids", "pad_id",
                      "speculative_k", "return_stats", "temperature",
-                     "top_p", "do_sample"),
+                     "top_p", "do_sample", "inject_scale", "inject_heads"),
 )
 def llm_generate_spec(
     params,
@@ -108,6 +108,10 @@ def llm_generate_spec(
     do_sample: bool = False,
     prompt_ids: Optional[jnp.ndarray] = None,  # [B, Tp] for n-gram lookup
     prompt_lens: Optional[jnp.ndarray] = None,  # [B]
+    inject_params=None,               # ORCA deep injection (int8 stack
+    inject_tokens=None,               # required — the verify kernel runs
+    inject_scale: float = 2.5,        # the cross-attention in-kernel)
+    inject_heads: int = 0,
     return_stats: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Prefill + speculative decode (greedy or sampled).
@@ -126,6 +130,35 @@ def llm_generate_spec(
     if do_sample:
         assert key is not None, "do_sample spec decode needs a PRNG key"
 
+    # ORCA deep injection: XLA extra_layer_fn for the prefill, in-kernel
+    # spec (audio K/V streamed through the verify kernel) for the loop —
+    # eligibility (int8 cross-attn stack) is the caller's job
+    # (models/desta._spec_eligible).
+    extra_layer_fn = None
+    fspec = None
+    if inject_params is not None:
+        from ..models.orca import (
+            gated_cross_attention_apply,
+            precompute_cross_kv,
+        )
+        from ..ops.fused_decode import pad_audio_kv
+        from ..ops.rope import fractional_rope_apply
+        roped = fractional_rope_apply(inject_tokens, inject_scale,
+                                      cfg.rope_theta)
+        inj_k, inj_v = precompute_cross_kv(inject_params, roped)
+
+        def extra_layer_fn(idx, h):
+            lp = jax.tree.map(lambda x: x[idx], inject_params["layers"])
+            return gated_cross_attention_apply(
+                lp, h, None, inject_heads,
+                cached_kv=(inj_k[idx], inj_v[idx]))
+
+        fspec = dict(params=inject_params,
+                     k=pad_audio_kv(inj_k.astype(jnp.bfloat16)),
+                     v=pad_audio_kv(inj_v.astype(jnp.bfloat16)),
+                     ta_real=inj_k.shape[2], heads=inject_heads,
+                     on=jnp.ones((B,), jnp.float32))
+
     Tmax = -(-(T + max_new_tokens + Kd) // 128) * 128
     cache = jllm.init_kv_cache(cfg, B, Tmax, dtype=inputs_embeds.dtype)
     full_mask = jnp.zeros((B, Tmax), jnp.int32
@@ -134,7 +167,7 @@ def llm_generate_spec(
     logits, cache, _ = jllm.llm_apply(
         params, cfg, inputs_embeds=inputs_embeds,
         attention_mask=full_mask, positions=positions,
-        cache=cache, cache_index=0)
+        cache=cache, cache_index=0, extra_layer_fn=extra_layer_fn)
     last_pos = positions[:, -1]
 
     if do_sample:
@@ -200,7 +233,8 @@ def llm_generate_spec(
         posn = s["pos"][:, None] + jidx
         embeds = params["embed"][toks]
         hidden, cache = fused_verify_layers(
-            params, cfg, embeds, mask, posn, s["cache"], s["ci"])
+            params, cfg, embeds, mask, posn, s["cache"], s["ci"],
+            inject=fspec)
         hidden = rms_norm(params["norm"], hidden, cfg.rms_norm_eps)
         lg = _head_logits(params, cfg, hidden)       # [B, Kd, V]
         if do_sample:

@@ -494,13 +494,22 @@ class DeSTA25AudioModel:
     def _spec_eligible(self, speculative_k, do_sample, inject_kwargs,
                        B, T, max_new_tokens) -> bool:
         """Trace-time check: can this request use speculative decode?
-        (Sampling is supported — token-matching coupling, see
+        (Sampling is supported — token-matching coupling; ORCA deep
+        injection is supported when the cross-attn stack is
+        int8-quantized — the verify kernel runs it in-kernel.  See
         generate/speculative.py.)"""
         del do_sample
-        if speculative_k < 2 or inject_kwargs:
+        if speculative_k < 2:
             return False
         if self.params.get("lora") is not None:
             return False
+        if inject_kwargs:
+            from ..ops.fused_decode import fused_inject_supported
+            ta = inject_kwargs["inject_tokens"].shape[1]
+            if not fused_inject_supported(
+                    inject_kwargs["inject_params"], self.llm_cfg,
+                    -(-ta // 8) * 8):
+                return False
         from ..generate.speculative import spec_generate_supported
         S = -(-(T + max_new_tokens + speculative_k) // 128) * 128
         return spec_generate_supported(self.params["llm"], self.llm_cfg,
@@ -547,7 +556,7 @@ class DeSTA25AudioModel:
                 speculative_k=speculative_k,
                 temperature=temperature, top_p=top_p,
                 do_sample=do_sample,
-                prompt_ids=aligned, prompt_lens=lens)
+                prompt_ids=aligned, prompt_lens=lens, **inject_kwargs)
         else:
             tokens, n_gen = llm_generate(
                 self.params["llm"], self.llm_cfg, embeds,

@@ -639,32 +639,37 @@ def _make_kernel(m: _Meta):
             # per-row attention over the audio tokens.  Scores for all
             # heads in one MXU dot: (k ⊙ q_row) @ indicator -> [Ta, 128]
             # (cols >= Hi are dead).  Softmax over the Ta sublanes.
+            # With Kd > 1 (spec verify) every draft token of a batch row
+            # attends the SAME audio K/V — one (ka, va) DMA per row, Kd
+            # q-rows against it.
             tmask = jax.lax.broadcasted_iota(
                 jnp.int32, (m.Ta, 128), 0) < m.Ta_real
             for b in range(m.B):
                 slot = b % 2
                 pltpu.make_async_copy(
                     ka.at[l, b], kabuf.at[slot], kasem.at[slot]).wait()
-                qrow = iq[b:b + 1, :].astype(jnp.float32)       # [1, D]
-                kab = kabuf[slot].astype(jnp.float32)           # [Ta, D]
-                mq = (kab * qrow).astype(jnp.bfloat16)
-                sc = jnp.dot(mq, imind[:],
-                             preferred_element_type=jnp.float32)
-                sc = sc * inj_scale
-                sc = jnp.where(tmask, sc, jnp.float32(-1e30))
-                mx = jnp.max(sc, axis=0, keepdims=True)
-                e = jnp.exp(sc - mx)
-                den = jnp.sum(e, axis=0, keepdims=True)
-                p = (e / den).astype(jnp.bfloat16)              # [Ta, 128]
-                # broadcast per-head probs back to lanes: [Ta, D]
-                pf = jax.lax.dot_general(
-                    p, imind[:], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.bfloat16)
                 pltpu.make_async_copy(
                     va.at[l, b], vabuf.at[slot], vasem.at[slot]).wait()
-                ov = jnp.sum((pf * vabuf[slot]).astype(jnp.float32),
-                             axis=0, keepdims=True)             # [1, D]
-                iat[b:b + 1, :] = ov.astype(jnp.bfloat16)
+                kab = kabuf[slot].astype(jnp.float32)           # [Ta, D]
+                for j in range(m.Kd):
+                    r = b * m.Kd + j
+                    qrow = iq[r:r + 1, :].astype(jnp.float32)   # [1, D]
+                    mq = (kab * qrow).astype(jnp.bfloat16)
+                    sc = jnp.dot(mq, imind[:],
+                                 preferred_element_type=jnp.float32)
+                    sc = sc * inj_scale
+                    sc = jnp.where(tmask, sc, jnp.float32(-1e30))
+                    mx = jnp.max(sc, axis=0, keepdims=True)
+                    e = jnp.exp(sc - mx)
+                    den = jnp.sum(e, axis=0, keepdims=True)
+                    p = (e / den).astype(jnp.bfloat16)          # [Ta, 128]
+                    # broadcast per-head probs back to lanes: [Ta, D]
+                    pf = jax.lax.dot_general(
+                        p, imind[:], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.bfloat16)
+                    ov = jnp.sum((pf * vabuf[slot]).astype(jnp.float32),
+                                 axis=0, keepdims=True)         # [1, D]
+                    iat[r:r + 1, :] = ov.astype(jnp.bfloat16)
                 if b + 2 < m.B:
                     pltpu.make_async_copy(
                         ka.at[l, b + 2], kabuf.at[slot],
@@ -883,7 +888,6 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
 
     inj = inject is not None
     if inj:
-        assert Kd == 1, "in-kernel injection supports Kd == 1 only"
         il = inject["params"]["layers"]
         Dg = il["gate1"]["q"].shape[2]
         Ta = inject["k"].shape[2]
@@ -912,9 +916,12 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
              ci.reshape(1, B)]
     wkeys = ("wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down")
     if inj:
-        on = jnp.zeros((Mp, 128), jnp.float32).at[:B, :].set(
-            jnp.broadcast_to(
-                jnp.asarray(inject["on"], jnp.float32)[:, None], (B, 128)))
+        # per-row gate flags, token-major like the residual stream rows
+        # (row r = b*Kd + j: every draft position of batch row b shares
+        # on[b])
+        on_rows = jnp.repeat(jnp.asarray(inject["on"], jnp.float32), Kd)
+        on = jnp.zeros((Mp, 128), jnp.float32).at[:R, :].set(
+            jnp.broadcast_to(on_rows[:, None], (R, 128)))
         g2w = jnp.swapaxes(il["gate2"]["w"], 1, 2).astype(jnp.float32)
         g2b = jnp.broadcast_to(
             il["gate2"]["b"].astype(jnp.float32)[:, :, None], (L, 1, 128))
@@ -1007,7 +1014,7 @@ def pad_audio_kv(kv: jnp.ndarray) -> jnp.ndarray:
 
 
 def fused_verify_layers(params, cfg, inputs_embeds, attention_mask,
-                        positions, cache, cache_index):
+                        positions, cache, cache_index, inject=None):
     """Speculative-verify step: Kd tokens per row in ONE weight stream.
 
     inputs_embeds [B, Kd, D] = the last accepted token + Kd-1 draft
@@ -1023,4 +1030,4 @@ def fused_verify_layers(params, cfg, inputs_embeds, attention_mask,
     """
     assert inputs_embeds.shape[1] > 1
     return _run_fused(params, cfg, inputs_embeds, attention_mask,
-                      positions, cache, cache_index)
+                      positions, cache, cache_index, inject=inject)

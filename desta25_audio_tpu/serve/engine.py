@@ -199,19 +199,29 @@ class ContinuousBatchingEngine:
         # speculative verify ticks (greedy slots draft k-1 tokens/step)
         self.speculative_k = 0
         if speculative_k >= 2:
-            from ..ops.fused_decode import fused_supported
-            ok = (self._inject_len == 0
-                  and model.params.get("lora") is None
+            from ..ops.fused_decode import (
+                fused_inject_supported,
+                fused_supported,
+            )
+            # ORCA slots can speculate too: the verify kernel runs the
+            # gated cross-attention in-kernel for all Kd draft positions
+            # (requires an int8-quantized cross-attn stack)
+            ok = (model.params.get("lora") is None
                   and fused_supported(model.params["llm"], self.cfg,
-                                      self.cache, kd=speculative_k))
+                                      self.cache, kd=speculative_k)
+                  and (self._inject_len == 0
+                       or fused_inject_supported(
+                           self._inject_params, self.cfg,
+                           self.inject_k.shape[2])))
             if ok:
                 self.speculative_k = speculative_k
             else:
                 logger.warning(
                     "speculative_k=%d requested but the fused verify "
                     "kernel is unsupported here (needs int8 weights, "
-                    "bf16 cache, no LoRA/ORCA/mesh); serving falls back "
-                    "to plain decode ticks", speculative_k)
+                    "bf16 cache, no LoRA/mesh; ORCA additionally needs "
+                    "an int8 cross-attn stack); serving falls back to "
+                    "plain decode ticks", speculative_k)
         # per-slot n-gram history (device-resident across ticks); slack
         # covers the worst-case device overshoot within one tick
         hcap = self.t_max + self.steps_per_tick * max(speculative_k, 1) + 8
@@ -338,9 +348,10 @@ class ContinuousBatchingEngine:
             body, init, jnp.arange(self.steps_per_tick))
         return outs, cache  # outs: [K, n_slots]
 
-    def _spec_steps(self, params, cache, toks, rope_pos, write_pos, mask,
-                    decode_start, hist, hlen, temp, top_p, do_sample,
-                    key, sample_positions: int = 1):
+    def _spec_steps(self, params, inject_params, cache, toks, rope_pos,
+                    write_pos, mask, inj_k, inj_v, inject_on, decode_start,
+                    hist, hlen, temp, top_p, do_sample, key,
+                    sample_positions: int = 1):
         """``steps_per_tick`` speculative-verify steps in ONE program.
 
         Each step drafts Kd-1 tokens per slot by bigram prompt-lookup
@@ -365,6 +376,14 @@ class ContinuousBatchingEngine:
         from ..generate.speculative import ngram_propose
         from ..models.llm import _head_logits, rms_norm
         from ..ops.fused_decode import fused_verify_layers
+        fspec = None
+        if self._inject_len:
+            # in-kernel ORCA injection during verify (eligibility —
+            # int8 cross-attn stack — was checked at engine init)
+            fspec = dict(params=inject_params, k=inj_k, v=inj_v,
+                         ta_real=self._inject_len,
+                         heads=self.cfg.num_attention_heads,
+                         on=inject_on)
         Kd = self.speculative_k
         cfg = self.cfg
         S = self.t_max
@@ -389,7 +408,8 @@ class ContinuousBatchingEngine:
             posn = pos[:, None] + jidx
             embeds = params["embed"][toks_k]
             hidden, cache = fused_verify_layers(
-                params, cfg, embeds, full_mask, posn, cache, ci)
+                params, cfg, embeds, full_mask, posn, cache, ci,
+                inject=fspec)
             hidden = rms_norm(params["norm"], hidden, cfg.rms_norm_eps)
             lg = _head_logits(params, cfg, hidden)       # [B, Kd, V]
             g = jnp.argmax(lg, -1).astype(jnp.int32)
@@ -655,10 +675,12 @@ class ContinuousBatchingEngine:
                    if any(self.slot_sample[s] for s in active) else 1)
             outs, ms, cur, self.cache, self.hist, self.hlen = \
                 self._spec_jit(
-                    self.model.params["llm"], self.cache,
-                    jnp.asarray(self.cur_tok),
+                    self.model.params["llm"], self._inject_params,
+                    self.cache, jnp.asarray(self.cur_tok),
                     jnp.asarray(self.slot_rope), jnp.asarray(write_pos),
                     jnp.asarray(self.slot_mask),
+                    self.inject_k, self.inject_v,
+                    jnp.asarray(self.inject_on),
                     jnp.asarray(self.slot_decode_start), self.hist,
                     self.hlen, jnp.asarray(self.slot_temp),
                     jnp.asarray(self.slot_top_p),

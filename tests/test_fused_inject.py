@@ -237,3 +237,126 @@ def test_engine_fused_injection_matches_xla_engine(tmp_path, monkeypatch):
                                   16)
     got = run()
     assert got == ref, (got, ref)
+
+
+def test_fused_verify_with_injection_matches_xla(rng, monkeypatch):
+    """Spec-verify (Kd>1) with in-kernel injection: all Kd draft
+    positions cross-attend the audio K/V, matching the XLA T=Kd cached
+    path with extra_layer_fn."""
+    B, T_ctx, S, Kd, Ta = 2, 8, 128, 3, 16
+    cfg = _nano_cfg(512, 8, 4)   # inj head dim 64
+    qparams, xattn, cache, (inj_k, inj_v) = _setup(cfg, B, S, Ta, seed=5)
+    on = jnp.asarray([1.0, 1.0], jnp.float32)
+
+    ids = jnp.asarray(rng.integers(2, 500, size=(B, T_ctx)), jnp.int32)
+    mask = jnp.zeros((B, S), jnp.int32).at[:, :T_ctx].set(1)
+    fn = _xla_inject_fn(xattn, inj_k, inj_v, 8, on)
+    _, cache, _ = jllm.llm_apply(
+        qparams, cfg, input_ids=ids, attention_mask=mask,
+        cache=cache, cache_index=0, extra_layer_fn=fn)
+
+    toks = jnp.asarray(rng.integers(2, 500, size=(B, Kd)), jnp.int32)
+    mask = mask.at[:, T_ctx:T_ctx + Kd].set(1)
+    pos = T_ctx + jnp.arange(Kd)[None, :] + jnp.zeros((B, 1), jnp.int32)
+
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "0")
+    ref_logits, ref_cache, _ = jllm.llm_apply(
+        qparams, cfg, input_ids=toks, attention_mask=mask, positions=pos,
+        cache=cache, cache_index=T_ctx, extra_layer_fn=fn)
+
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    from desta25_audio_tpu.models.llm import _head_logits, rms_norm
+    from desta25_audio_tpu.ops.fused_decode import fused_verify_layers
+    spec = dict(params=xattn, k=inj_k, v=inj_v, ta_real=Ta, heads=8,
+                on=on)
+    embeds = qparams["embed"][toks]
+    hidden, got_cache = fused_verify_layers(
+        qparams, cfg, embeds, mask, pos, cache, T_ctx, inject=spec)
+    hidden = rms_norm(qparams["norm"], hidden, cfg.rms_norm_eps)
+    got_logits = _head_logits(qparams, cfg, hidden)
+
+    ref = np.asarray(ref_logits, np.float32)
+    got = np.asarray(got_logits, np.float32)
+    assert np.max(np.abs(ref - got)) / (np.abs(ref).max() + 1e-6) < 3e-2
+    for rc, gc in ((ref_cache.k, got_cache.k), (ref_cache.v, got_cache.v)):
+        assert np.max(np.abs(np.asarray(rc, np.float32)
+                             - np.asarray(gc, np.float32))) < 0.05
+
+
+def test_engine_orca_speculative_trajectory_invariant(tmp_path,
+                                                      monkeypatch):
+    """ORCA serving with speculative verify: greedy trajectories equal
+    the plain (non-speculative) ORCA engine's."""
+    from desta25_audio_tpu.audio.io import write_wav
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models.desta import DeSTA25AudioModel
+    from desta25_audio_tpu.serve.engine import ContinuousBatchingEngine
+
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    t = np.arange(12000) / 16000.0
+    wav = str(tmp_path / "w.wav")
+    write_wav(wav, (0.5 * np.sin(2 * np.pi * 500 * t)).astype(np.float32))
+    msgs = [{"role": "user", "content": "Describe: <|AUDIO|>",
+             "audios": [{"audio": wav, "text": "tone tone tone"}]}]
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano128",
+        encoder_model_id="test/whisper-nano",
+        connector_mode="orca_hybrid",
+        qformer_num_hidden_layers=2,
+        orca_global_num_tokens=4,
+        orca_local_downsample=4,
+        orca_local_kernel_size=5,
+        orca_audio_position_scale=2.5,
+        dtype="bfloat16")
+    m = DeSTA25AudioModel(cfg, seed=2)
+    m.params["llm"] = quantize_llm_params(m.params["llm"])
+    m.params["orca_cross_attns"] = quantize_orca_cross_attns(
+        m.params["orca_cross_attns"])
+
+    def run(spec_k):
+        eng = ContinuousBatchingEngine(m, n_slots=1, max_ctx=128,
+                                       max_new_tokens=4, ctx_bucket=128,
+                                       speculative_k=spec_k)
+        if spec_k:
+            assert eng.speculative_k == spec_k, "ORCA spec must be eligible"
+        rid = eng.submit(msgs)
+        return eng.run_until_done()[rid]
+
+    assert run(3) == run(0)
+
+
+def test_generate_orca_speculative_matches_plain(tmp_path, monkeypatch):
+    """model.generate(speculative_k) with ORCA: eligible when the
+    cross-attn stack is int8, greedy output equals the plain loop."""
+    from desta25_audio_tpu.audio.io import write_wav
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models.desta import DeSTA25AudioModel
+
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    t = np.arange(12000) / 16000.0
+    wav = str(tmp_path / "w.wav")
+    write_wav(wav, (0.5 * np.sin(2 * np.pi * 640 * t)).astype(np.float32))
+    msgs = [{"role": "user", "content": "Echo echo echo: <|AUDIO|>",
+             "audios": [{"audio": wav, "text": "echo echo echo"}]}]
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano128",
+        encoder_model_id="test/whisper-nano",
+        connector_mode="orca_hybrid",
+        qformer_num_hidden_layers=2,
+        orca_global_num_tokens=4,
+        orca_local_downsample=4,
+        orca_local_kernel_size=5,
+        orca_audio_position_scale=2.5,
+        dtype="bfloat16")
+    m = DeSTA25AudioModel(cfg, seed=4)
+    m.params["llm"] = quantize_llm_params(m.params["llm"])
+    m.params["orca_cross_attns"] = quantize_orca_cross_attns(
+        m.params["orca_cross_attns"])
+
+    plain = m.generate(msgs, max_new_tokens=5, do_sample=False).text[0]
+    spec = m.generate(msgs, max_new_tokens=5, do_sample=False,
+                      speculative_k=3).text[0]
+    assert spec == plain, (spec, plain)
