@@ -184,6 +184,10 @@ def main():
             rtt, enc_params, conn_params, cfg, x0[:1]))
     except Exception as e:  # noqa: BLE001
         detail["decode_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        detail.update(bench_orca_decode(rtt))
+    except Exception as e:  # noqa: BLE001
+        detail["orca_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # free the perception benchmark's params before the train bench
     # allocates its own flagship towers
@@ -428,6 +432,130 @@ def bench_serving(rtt, lp, llm_cfg):
             best = dt if best is None else min(best, dt)
         results[f"serving_tok_s_{B}slots"] = round(B * K / best, 1)
     return results
+
+
+def bench_orca_decode(rtt):
+    """ORCA flagship decode (Qwen3-4B int8 + int8 gated cross-attention,
+    Ta=440 audio tokens, b8): the in-kernel injected fused kernel vs the
+    per-layer XLA injection baseline.  Mirrors scripts/ab_orca_inject.py
+    with the same scan-inside-one-jit timing discipline."""
+    import sys
+
+    from desta25_audio_tpu.config import llm_config_for
+    from desta25_audio_tpu.models import llm as jllm
+    from desta25_audio_tpu.models.orca import gated_cross_attention_apply
+    from desta25_audio_tpu.ops.quant import (
+        quantize_llm_params,
+        quantize_orca_cross_attns,
+    )
+    from desta25_audio_tpu.utils.fast_init import random_tree_like
+
+    B, CTX, STEPS, TA = 8, 192, 32, 440
+    llm_cfg = llm_config_for("Qwen/Qwen3-4B")
+    L, D, H = (llm_cfg.num_hidden_layers, llm_cfg.hidden_size,
+               llm_cfg.num_attention_heads)
+    qshape = jax.eval_shape(
+        lambda k: quantize_llm_params(
+            jllm.init_llm(k, llm_cfg, dtype=jnp.bfloat16)),
+        jax.random.PRNGKey(0))
+    lp = random_tree_like(jax.random.PRNGKey(2), lambda k: qshape,
+                          scale=0.02)
+
+    def build_xattn(key):
+        from desta25_audio_tpu.ops.core import (
+            init_layer_norm,
+            init_linear,
+            stack_layers,
+        )
+        layers = []
+        for _ in range(L):
+            key, kq, kk, kv, ko, kg1 = jax.random.split(key, 6)
+            layers.append({
+                "q": init_linear(kq, D, D), "k": init_linear(kk, D, D),
+                "v": init_linear(kv, D, D), "o": init_linear(ko, D, D),
+                "gate1": init_linear(kg1, D, D // 4),
+                "gate2": {"w": jnp.zeros((D // 4, 1), jnp.float32),
+                          "b": jnp.zeros((1,), jnp.float32)},
+                "ln": init_layer_norm(D),
+            })
+        return quantize_orca_cross_attns({"layers": stack_layers(layers)})
+
+    xshape = jax.eval_shape(build_xattn, jax.random.PRNGKey(0))
+    xp = random_tree_like(jax.random.PRNGKey(3), lambda k: xshape,
+                          scale=0.02)
+    ka = (jax.random.normal(jax.random.PRNGKey(4), (L, B, TA, D),
+                            jnp.bfloat16) * 0.1)
+    va = (jax.random.normal(jax.random.PRNGKey(5), (L, B, TA, D),
+                            jnp.bfloat16) * 0.1)
+    jax.block_until_ready((lp, xp, ka, va))
+    print("orca init done", file=sys.stderr)
+
+    Tmax = -(-(CTX + STEPS) // 128) * 128
+    mask = jnp.ones((B, Tmax), jnp.int32)
+
+    def prefill(params):
+        cache = jllm.init_kv_cache(llm_cfg, B, Tmax, dtype=jnp.bfloat16)
+        ids = jnp.ones((B, CTX), jnp.int32)
+        logits, cache, _ = jllm.llm_apply(
+            params, llm_cfg, input_ids=ids, attention_mask=mask,
+            cache=cache, cache_index=0)
+        return jnp.argmax(logits[:, -1], -1).astype(jnp.int32), cache
+
+    def make_decode(mode):
+        def decode_scan(params, xattn, inj_k, inj_v, tok, cache):
+            extra = fspec = None
+            if mode == "xla":
+                def extra(idx, h):
+                    lpz = jax.tree.map(lambda a: a[idx], xattn["layers"])
+                    return gated_cross_attention_apply(
+                        lpz, h, None, H,
+                        cached_kv=(inj_k[idx], inj_v[idx]))
+            else:
+                fspec = dict(params=xattn, k=inj_k, v=inj_v, ta_real=TA,
+                             heads=H, on=jnp.ones((B,), jnp.float32))
+
+                def extra(idx, h):  # fallback only
+                    return h
+
+            def body(carry, t):
+                tok, cache = carry
+                lg, cache, _ = jllm.llm_apply(
+                    params, llm_cfg, input_ids=tok[:, None],
+                    attention_mask=mask,
+                    positions=(CTX + t)[None, None]
+                    + jnp.zeros((B, 1), jnp.int32),
+                    cache=cache, cache_index=CTX + t,
+                    extra_layer_fn=extra, fused_injection=fspec)
+                nxt = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+                return (nxt, cache), None
+
+            (tok, cache), _ = jax.lax.scan(body, (tok, cache),
+                                           jnp.arange(STEPS))
+            return jnp.sum(tok), cache
+
+        return jax.jit(decode_scan, donate_argnums=(5,))
+
+    pf = jax.jit(prefill)
+    out = {}
+    for mode, keyname in (("fused", "orca_decode_tok_s_b8"),
+                          ("xla", "orca_decode_xla_tok_s_b8")):
+        dec = make_decode(mode)
+        t0 = time.time()
+        tok, cache = pf(lp)
+        jax.block_until_ready(cache)
+        float(dec(lp, xp, ka, va, tok, cache)[0])
+        print(f"orca {mode} compile {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        best = None
+        for _ in range(3):
+            tok, cache = pf(lp)
+            jax.block_until_ready(cache)
+            t0 = time.time()
+            float(dec(lp, xp, ka, va, tok, cache)[0])
+            dt = time.time() - t0 - rtt
+            best = dt if best is None else min(best, dt)
+        out[keyname] = round(B * STEPS / best, 1)
+    return out
 
 
 def bench_train(rtt):

@@ -127,6 +127,23 @@ class DeSTA25AudioModel:
                 klo, self.llm_cfg, self.config.lora_rank)
         return params
 
+    def merge_lora_for_serving(self, quantize: bool = True) -> None:
+        """Fold the LoRA adapters into the LLM weights and drop them
+        (peft ``merge_and_unload``) — a serving transform that re-opens
+        the fused int8 decode kernel (LoRA otherwise forces the XLA
+        decode path).  quantize=True additionally int8-quantizes the
+        merged tower (requires an unquantized base).  Exact at
+        inference; do NOT train or save checkpoints afterwards."""
+        lora = self.params.pop("lora", None)
+        if lora is None:
+            return
+        merged = jllm.merge_lora(self.params["llm"], lora,
+                                 self.config.lora_scale)
+        if quantize:
+            from ..ops.quant import quantize_llm_params
+            merged = jax.jit(quantize_llm_params)(merged)
+        self.params["llm"] = merged
+
     def trainable_keys(self) -> Tuple[str, ...]:
         """Which top-level param subtrees train (reference
         configure_trainable_parameters, modeling_desta25.py:1439-1463:

@@ -501,3 +501,31 @@ def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     """Embedding lookup (the splice needs raw embeddings;
     modeling_desta25.py:975-982)."""
     return params["embed"][ids]
+
+
+def merge_lora(params: Params, lora: Params,
+               lora_scale: float = 1.0) -> Params:
+    """Fold LoRA adapters into the base q/k/v weights (peft
+    ``merge_and_unload``): W' = W + scale * A @ B.
+
+    A serving transform: the merged tree decodes WITHOUT the lora
+    argument, which re-opens the fused int8 decode kernel (quantize the
+    merged tree with ops.quant.quantize_llm_params afterwards — merging
+    must happen on the unquantized base).  Exact at inference: LoRA
+    dropout is train-time only, so ``x @ W + scale * (x @ A) @ B ==
+    x @ (W + scale * A @ B)`` up to dtype rounding."""
+    from ..ops.quant import is_quantized
+    targets = {"q": "wq", "k": "wk", "v": "wv"}
+    layers = dict(params["layers"])
+    for t, wkey in targets.items():
+        if is_quantized(layers[wkey]):
+            raise ValueError(
+                "merge_lora needs the unquantized base weights "
+                f"({wkey} is int8) — merge first, then quantize")
+        lp = lora["layers"][t]
+        delta = jnp.einsum(
+            "ldr,lrn->ldn", lp["a"].astype(jnp.float32),
+            lp["b"].astype(jnp.float32)) * lora_scale
+        w = layers[wkey]
+        layers[wkey] = (w.astype(jnp.float32) + delta).astype(w.dtype)
+    return {**params, "layers": layers}

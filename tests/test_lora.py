@@ -79,3 +79,74 @@ def test_yaml_lora_fields():
     })
     assert cfg.lora_rank == 8 and cfg.lora_alpha == 32.0
     assert cfg.lora_dropout == 0.2 and cfg.lora_scale == 4.0
+
+
+def test_merge_lora_matches_adapter_forward(rng):
+    """peft merge_and_unload equivalent: merged weights reproduce the
+    adapter forward (inference has no dropout), and the merged tree
+    quantizes into the fused decode path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from desta25_audio_tpu.config import llm_config_for
+    from desta25_audio_tpu.models import llm as jllm
+
+    cfg = llm_config_for("test/llama-nano")
+    params = jllm.init_llm(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    lora = jllm.init_lora(jax.random.PRNGKey(1), cfg, rank=4)
+    # nonzero B so the delta is real
+    lora = jax.tree.map(
+        lambda x: x + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(2), x.shape, x.dtype), lora)
+    ids = jnp.asarray(rng.integers(2, 500, size=(2, 10)), jnp.int32)
+
+    ref, _, _ = jllm.llm_apply(params, cfg, input_ids=ids,
+                               lora=lora, lora_scale=0.5)
+    merged = jllm.merge_lora(params, lora, lora_scale=0.5)
+    got, _, _ = jllm.llm_apply(merged, cfg, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=2e-4)
+
+    # quantized-base merge is rejected (wrong order)
+    from desta25_audio_tpu.ops.quant import quantize_llm_params
+    import pytest
+    q = quantize_llm_params(jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), params))
+    with pytest.raises(ValueError):
+        jllm.merge_lora(q, lora)
+
+
+def test_model_merge_lora_for_serving(rng):
+    """Model-level merge_and_unload: LoRA folded + tower quantized, and
+    generate still matches the adapter model's greedy output."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models.desta import DeSTA25AudioModel
+    from desta25_audio_tpu.ops.quant import is_quantized
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano",
+        encoder_model_id="test/whisper-nano",
+        prompt_size=4, qformer_num_hidden_layers=2,
+        use_lora=True, lora_rank=4, dtype="float32")
+    m = DeSTA25AudioModel(cfg, seed=0)
+    # give the adapter a real delta (B starts at zero)
+    import jax
+    m.params["lora"] = jax.tree.map(
+        lambda x: x + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(9), x.shape, x.dtype), m.params["lora"])
+    msgs = [{"role": "user", "content": "Count to three."}]
+    ref = m.generate(msgs, max_new_tokens=4, do_sample=False).text[0]
+    m.merge_lora_for_serving(quantize=False)
+    assert "lora" not in m.params
+    got = m.generate(msgs, max_new_tokens=4, do_sample=False).text[0]
+    assert got == ref
+    # quantized variant runs too (trajectory may shift under int8)
+    m2 = DeSTA25AudioModel(cfg, seed=0)
+    m2.merge_lora_for_serving(quantize=True)
+    assert is_quantized(m2.params["llm"]["layers"]["wq"])
+    out = m2.generate(msgs, max_new_tokens=4, do_sample=False).text[0]
+    assert isinstance(out, str)
