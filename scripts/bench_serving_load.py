@@ -47,6 +47,12 @@ from desta25_audio_tpu.utils.fast_init import random_tree_like
 
 ARGS = [a for a in sys.argv[1:] if not a.startswith("-")]
 ORCA = "--orca" in sys.argv[1:]
+# --spec K: speculative verify ticks (n-gram drafting; with --orca the
+# verify kernel runs the gated cross-attention in-kernel)
+SPEC_K = 0
+for a in sys.argv[1:]:
+    if a.startswith("--spec"):
+        SPEC_K = int(a.split("=")[1]) if "=" in a else 4
 N_SLOTS = int(ARGS[0]) if len(ARGS) > 0 else 8
 N_REQUESTS = int(ARGS[1]) if len(ARGS) > 1 else 48
 MAX_NEW = 48
@@ -105,7 +111,9 @@ def main():
 
     eng = ContinuousBatchingEngine(
         model, n_slots=N_SLOTS, max_ctx=256, max_new_tokens=MAX_NEW,
-        ctx_bucket=128, steps_per_tick=8)
+        ctx_bucket=128, steps_per_tick=8, speculative_k=SPEC_K)
+    if SPEC_K:
+        assert eng.speculative_k == SPEC_K, "spec ticks not eligible here"
 
     from desta25_audio_tpu.audio.io import write_wav
     clip = (0.1 * np.random.default_rng(0).standard_normal(16000 * 30)
