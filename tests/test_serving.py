@@ -370,7 +370,7 @@ def test_engine_speculative_matches_plain_ticks(wavs, monkeypatch):
     monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
     m = _spec_model()
-    MAX_NEW = 10
+    MAX_NEW = 6
     reqs = [_msgs(wavs[i], i) for i in range(3)]
     plain = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
                                      max_new_tokens=MAX_NEW,
@@ -399,7 +399,7 @@ def test_engine_speculative_mixed_sampling(wavs, monkeypatch):
     monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
     m = _spec_model()
-    MAX_NEW = 8
+    MAX_NEW = 6
     plain = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
                                      max_new_tokens=MAX_NEW,
                                      ctx_bucket=128)
@@ -427,7 +427,7 @@ def test_engine_speculative_sampled_tiny_temp_matches_greedy(
     monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
     m = _spec_model()
-    MAX_NEW = 8
+    MAX_NEW = 6
     plain = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
                                      max_new_tokens=MAX_NEW,
                                      ctx_bucket=128)

@@ -54,13 +54,16 @@ def test_spec_trajectory_equals_plain_greedy(kd, rng, monkeypatch):
     cfg = _nano_cfg()
     params = jllm.init_llm(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
     qp = quantize_llm_params(tree_cast(params, jnp.bfloat16))
-    B, T, MAX_NEW = 2, 12, 16
+    B, T, MAX_NEW = 2, 12, 10
     ids = jnp.asarray(rng.integers(2, 500, size=(B, T)), jnp.int32)
     embeds = qp["embed"][ids]
     amask = jnp.ones((B, T), jnp.int32)
-    # no eos in range: the nano model never emits id 1 reliably; also run
-    # with eos to exercise the early-stop path
-    for eos_ids in ((), (int(np.asarray(ids)[0, 0]),)):
+    # no eos in range: the nano model never emits id 1 reliably; the
+    # eos early-stop variant runs on the kd=4 param only (interpret-mode
+    # kernel steps are ~1 s each — splitting the variants across params
+    # keeps both paths covered at half the suite cost)
+    variants = ((),) if kd == 2 else ((int(np.asarray(ids)[0, 0]),),)
+    for eos_ids in variants:
         ref, ref_n = llm_generate(
             qp, cfg, embeds, amask, jax.random.PRNGKey(0),
             max_new_tokens=MAX_NEW, do_sample=False, eos_ids=eos_ids,
@@ -168,9 +171,9 @@ def test_generate_speculative_e2e(monkeypatch, tmp_path):
     write_wav(p, sig)
     msgs = [{"role": "user", "content": "Describe: <|AUDIO|>",
              "audios": [{"audio": p, "text": "a tone"}]}]
-    ref = model.generate(msgs, do_sample=False, max_new_tokens=10,
+    ref = model.generate(msgs, do_sample=False, max_new_tokens=6,
                          speculative_k=0)
-    got = model.generate(msgs, do_sample=False, max_new_tokens=10,
+    got = model.generate(msgs, do_sample=False, max_new_tokens=6,
                          speculative_k=4)
     assert got.text == ref.text, (got.text, ref.text)
 
@@ -186,5 +189,5 @@ def test_generate_speculative_e2e(monkeypatch, tmp_path):
     # temperature -> 0 every draw is the argmax, so the output must
     # match greedy — proves generate() no longer falls back on do_sample
     got_s = model.generate(msgs, do_sample=True, temperature=1e-4,
-                           top_p=1.0, max_new_tokens=10, speculative_k=4)
+                           top_p=1.0, max_new_tokens=6, speculative_k=4)
     assert got_s.text == ref.text, (got_s.text, ref.text)
