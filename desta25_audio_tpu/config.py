@@ -354,6 +354,13 @@ class DeSTA25Config:
     # "int8"): int8xint8 MXU matmuls (~2x bf16 on v5e) with per-token
     # activation scales. Inference-speed option; the encoder never trains.
     encoder_quant: str = "none"
+    # Weight-only int8 for the ORCA gated cross-attention stack ("none"
+    # | "int8").  INFERENCE ONLY (the stack normally trains): halves
+    # the per-step injection weight stream AND lets the gated
+    # cross-attention run inside the fused decode kernel
+    # (ops/fused_decode fused_injection), which also re-opens
+    # speculative decoding for ORCA models.
+    orca_xattn_quant: str = "none"
 
     @property
     def lora_scale(self) -> float:

@@ -722,4 +722,20 @@ class DeSTA25AudioModel:
                             model.params[tower] = loaded
                 model.params = load_trainable_safetensors(
                     model.params, config, st)
+        model._apply_orca_xattn_quant()
         return model
+
+    def _apply_orca_xattn_quant(self) -> None:
+        """config.orca_xattn_quant="int8": quantize the gated
+        cross-attention stack for serving (applied AFTER checkpoint
+        weights load — the trainable loader needs the float "w" leaves).
+        With an int8 LLM this routes decode through the in-kernel
+        injection and re-opens speculative decoding for ORCA."""
+        if (self.config.orca_xattn_quant == "int8"
+                and "orca_cross_attns" in self.params):
+            from ..ops.quant import is_quantized, quantize_orca_cross_attns
+            if not is_quantized(
+                    self.params["orca_cross_attns"]["layers"]["q"]):
+                self.params["orca_cross_attns"] = jax.jit(
+                    quantize_orca_cross_attns)(
+                        self.params["orca_cross_attns"])

@@ -360,3 +360,37 @@ def test_generate_orca_speculative_matches_plain(tmp_path, monkeypatch):
     spec = m.generate(msgs, max_new_tokens=5, do_sample=False,
                       speculative_k=3).text[0]
     assert spec == plain, (spec, plain)
+
+
+def test_from_pretrained_orca_xattn_quant(tmp_path, monkeypatch):
+    """config.orca_xattn_quant="int8": from_pretrained loads the float
+    trainable stack then quantizes it for serving (in-kernel injection
+    eligible)."""
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models.desta import DeSTA25AudioModel
+    from desta25_audio_tpu.ops.quant import is_quantized
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano128",
+        encoder_model_id="test/whisper-nano",
+        connector_mode="orca_hybrid",
+        qformer_num_hidden_layers=2,
+        orca_global_num_tokens=4,
+        orca_local_downsample=4,
+        orca_local_kernel_size=5,
+        orca_xattn_quant="int8",
+        dtype="bfloat16")
+    m = DeSTA25AudioModel(cfg, seed=1)
+    # direct construction keeps float leaves (training-compatible)
+    assert not is_quantized(m.params["orca_cross_attns"]["layers"]["q"])
+    ck = str(tmp_path / "ck")
+    m.save_pretrained(ck)
+
+    m2 = DeSTA25AudioModel.from_pretrained(ck)
+    assert is_quantized(m2.params["orca_cross_attns"]["layers"]["q"])
+    from desta25_audio_tpu.ops.fused_decode import fused_inject_supported
+    assert fused_inject_supported(m2.params["orca_cross_attns"],
+                                  m2.llm_cfg, 16)
+    out = m2.generate([{"role": "user", "content": "Hi."}],
+                      max_new_tokens=3, do_sample=False).text[0]
+    assert isinstance(out, str)
