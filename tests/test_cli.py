@@ -118,3 +118,40 @@ def test_warm_start_from_pretrained_weights(tmp_path):
     cfg["resume_from_checkpoint"] = "somewhere"
     with pytest.raises(AssertionError):
         build_from_config(cfg)
+
+
+def test_cli_generate_smoke(tmp_path, capsys):
+    """cli.generate end-to-end: stage a nano checkpoint, run the CLI on a
+    synthetic wav with a known transcription, check JSON output."""
+    import json
+
+    import numpy as np
+
+    from desta25_audio_tpu.audio.io import write_wav
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models.desta import DeSTA25AudioModel
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano",
+        encoder_model_id="test/whisper-nano",
+        prompt_size=4, qformer_num_hidden_layers=2, dtype="float32")
+    m = DeSTA25AudioModel(cfg, seed=0)
+    ck = str(tmp_path / "ck")
+    m.save_pretrained(ck)
+    t = np.arange(12000) / 16000.0
+    # speech-like (amplitude-gated) signal: energy VAD detects it, so the
+    # provided transcription survives; the reference overrides the
+    # transcription with " " only for non-speech clips
+    # (modeling_desta25.py:1563-1567)
+    sig = (0.5 * np.sin(2 * np.pi * 300 * t)
+           * (np.sin(2 * np.pi * 3 * t) > 0)).astype(np.float32)
+    wav = str(tmp_path / "c.wav")
+    write_wav(wav, sig)
+
+    from desta25_audio_tpu.cli.generate import main
+    main(["--model", ck, "--audio", wav, "--transcription", "a tone",
+          "--prompt", "Describe: <|AUDIO|>", "--max-new-tokens", "3",
+          "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert isinstance(out["text"][0], str)
+    assert out["audios"][0][1] == "a tone"
