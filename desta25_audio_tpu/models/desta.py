@@ -522,10 +522,13 @@ class DeSTA25AudioModel:
             return False
         if inject_kwargs:
             from ..ops.fused_decode import fused_inject_supported
+            from ..ops.quant import is_quantized
             ta = inject_kwargs["inject_tokens"].shape[1]
-            if not fused_inject_supported(
-                    inject_kwargs["inject_params"], self.llm_cfg,
-                    -(-ta // 8) * 8):
+            if not (fused_inject_supported(
+                        inject_kwargs["inject_params"], self.llm_cfg,
+                        -(-ta // 8) * 8)
+                    # the in-kernel injection rides the int8 weight ring
+                    and is_quantized(self.params["llm"]["layers"]["wq"])):
                 return False
         from ..generate.speculative import spec_generate_supported
         S = -(-(T + max_new_tokens + speculative_k) // 128) * 128

@@ -356,7 +356,9 @@ def llm_apply(
             fused_inject_supported,
             fused_supported,
         )
+        from ..ops.quant import is_quantized
         if (fused_supported(params, cfg, cache)
+                and is_quantized(params["layers"].get("wq"))
                 and fused_inject_supported(
                     fused_injection["params"], cfg,
                     fused_injection["k"].shape[2])):

@@ -46,8 +46,10 @@ scores come from one MXU dot of the elementwise q*k product against a
 back to lanes the same way — no sub-128 lane slicing anywhere.
 
 Dispatch: ``models.llm.llm_apply`` routes T==1 cached steps here when the
-LLM weights are int8-quantized, there is no LoRA / mesh, and the shapes
-tile cleanly (see :func:`fused_supported`); ORCA injection joins the
+LLM weights are int8-quantized OR plain bf16 (the weight ring streams
+either; bf16 moves 2x the bytes but still skips the per-projection
+launch overhead), there is no LoRA / mesh, and the shapes tile cleanly
+(see :func:`fused_supported`); ORCA injection joins the
 kernel when :func:`fused_inject_supported` also holds, and otherwise
 falls back to per-layer XLA injection.  Set ``DESTA_FUSED_DECODE=0`` to
 force the XLA path; ``DESTA_FUSED_INTERPRET=1`` runs the kernel through
@@ -95,6 +97,10 @@ class _Meta(NamedTuple):
     Ta_real: int = 0   # valid audio tokens (rows >= Ta_real are masked)
     Dg: int = 0        # gate1 hidden dim (D // 4 in the reference)
     Hi: int = 0        # injection heads (LLM heads; head dim = D // Hi)
+    # weight stream dtype: True = int8 + per-column scales (quantized
+    # towers), False = bf16 (unquantized towers stream 2x the bytes but
+    # still beat the per-projection XLA path's pipeline-fill overhead)
+    w_int8: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +127,7 @@ def _meta_dims(m: "_Meta"):
     return dims
 
 
-def _pick_tile(K, N):
+def _pick_tile(K, N, elem_bytes: int = 1):
     """Largest (bk, bn) tile under the budget — fewer, fatter DMAs win at
     decode-sized M (pipeline-fill bound, CLAUDE.md round-1 analysis)."""
     best = None
@@ -129,19 +135,19 @@ def _pick_tile(K, N):
         if N % bn:
             continue
         bks = [b for b in range(256, K + 1, 256)
-               if K % b == 0 and b * bn <= _W_TILE_BUDGET]
+               if K % b == 0 and b * bn * elem_bytes <= _W_TILE_BUDGET]
         if bks and (best is None or bks[-1] * bn >= best[0] * best[1]):
             best = (bks[-1], bn)
     return best
 
 
-def _stage_tiles(D, H, Hkv, Dh, I, inj_dg: int = 0):
+def _stage_tiles(D, H, Hkv, Dh, I, inj_dg: int = 0, elem_bytes: int = 1):
     dims = _stage_dims(D, H, Hkv, Dh, I)
     if inj_dg:
         dims += [(D, D), (D, D), (D, inj_dg)]
     tiles = []
     for K, N in dims:
-        t = _pick_tile(K, N)
+        t = _pick_tile(K, N, elem_bytes)
         if t is None:
             return None
         tiles.append(t)
@@ -173,8 +179,14 @@ def fused_supported(params, cfg, cache, kd: int = 1) -> bool:
     from .quant import is_quantized
     layers = params.get("layers", {})
     keys = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
-    if not all(is_quantized(layers.get(k)) for k in keys):
-        return False
+    quantized = all(is_quantized(layers.get(k)) for k in keys)
+    if not quantized:
+        # bf16 weight stream: unquantized towers still beat the
+        # per-projection XLA path (2x the bytes, zero pipeline re-fill)
+        if not all(
+                isinstance(layers.get(k), jnp.ndarray)
+                and layers[k].dtype == jnp.bfloat16 for k in keys):
+            return False
     if cache.k.dtype != jnp.bfloat16 or cache.k.ndim != 4:
         return False
     L, B, S, KVD = cache.k.shape
@@ -187,7 +199,8 @@ def fused_supported(params, cfg, cache, kd: int = 1) -> bool:
         return False
     if D % 256 != 0 or I % 128 != 0:
         return False
-    if _stage_tiles(D, H, Hkv, Dh, I) is None:
+    if _stage_tiles(D, H, Hkv, Dh, I,
+                    elem_bytes=1 if quantized else 2) is None:
         return False
     if _pick_sblk(S, Hkv * Dh) is None:
         return False
@@ -239,8 +252,11 @@ def _make_kernel(m: _Meta):
         if m.inj:
             inj_on, bq, bo, bg1, wg2, bg2, lns, lnb = refs[i:i + 8]
             i += 8
-        s_refs = refs[i:i + n_st]
-        i += n_st
+        if m.w_int8:
+            s_refs = refs[i:i + n_st]
+            i += n_st
+        else:
+            s_refs = None
         w_refs = refs[i:i + n_st]
         i += n_st
         if m.inj:
@@ -363,10 +379,13 @@ def _make_kernel(m: _Meta):
                 slot = wslot(l, off_s + ti)
                 kk = jax.lax.rem(ti, nk)
                 n = ti // nk
-                wt = wbuf[slot, :bk, :bn].astype(jnp.bfloat16)
+                wt = wbuf[slot, :bk, :bn]
+                if m.w_int8:
+                    wt = wt.astype(jnp.bfloat16)
                 xt = x_ref[:, pl.ds(kk * bk, bk)]
                 p = jnp.dot(xt, wt, preferred_element_type=jnp.float32)
-                sv = s_refs[si][0, :, pl.ds(n * bn, bn)].astype(jnp.float32)
+                sv = (s_refs[si][0, :, pl.ds(n * bn, bn)].astype(
+                    jnp.float32) if m.w_int8 else jnp.float32(1.0))
                 if nk == 1:
                     flush(n, p * sv)
                 else:
@@ -769,9 +788,11 @@ def _build_call(m: _Meta, interpret: bool):
             pl.BlockSpec((1, 1, m.D), lambda l: (l, 0, 0),
                          memory_space=vm),                      # ln bias
         ]
-    for _, N in dims:
-        in_specs.append(
-            pl.BlockSpec((1, 1, N), lambda l: (l, 0, 0), memory_space=vm))
+    if m.w_int8:
+        for _, N in dims:
+            in_specs.append(
+                pl.BlockSpec((1, 1, N), lambda l: (l, 0, 0),
+                             memory_space=vm))
     # weights (ANY) + [audio K/V when injecting] + cache k/v (ANY, last
     # two so the input->output aliases below stay positional)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
@@ -803,7 +824,8 @@ def _build_call(m: _Meta, interpret: bool):
         pltpu.VMEM((m.Mp, HDh), bf16),            # attn
         pltpu.VMEM((m.Mp, m.I), bf16),            # mid
         pltpu.VMEM((m.Mp, bn_max), f32),          # acc
-        pltpu.VMEM((_W_RING, bk_max, bn_max), jnp.int8),  # wbuf ring
+        pltpu.VMEM((_W_RING, bk_max, bn_max),
+                   jnp.int8 if m.w_int8 else jnp.bfloat16),  # wbuf ring
         pltpu.VMEM((2, m.s_blk, KVD), bf16),      # kvbuf
         pltpu.VMEM((m.B, W, KVD), bf16),          # kwbuf (k cache RMW)
         pltpu.VMEM((m.B, W, KVD), bf16),          # vwbuf (v cache RMW)
@@ -896,15 +918,20 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
         Dg = Ta = 0
 
     layers = params["layers"]
+    from .quant import is_quantized
+    w_int8 = is_quantized(layers["wq"])
+    if inj:
+        assert w_int8, "in-kernel injection needs the int8 tower stream"
     meta = _Meta(
         L=L, D=D, H=cfg.num_attention_heads, Hkv=Hkv, Dh=Dh,
         I=cfg.intermediate_size, qk_norm=bool(cfg.qk_norm),
         eps=float(cfg.rms_norm_eps), B=B, Kd=Kd, Mp=Mp, S=S,
         s_blk=_pick_sblk(S, Hkv * Dh),
         tiles=_stage_tiles(D, cfg.num_attention_heads, Hkv, Dh,
-                           cfg.intermediate_size, inj_dg=Dg),
+                           cfg.intermediate_size, inj_dg=Dg,
+                           elem_bytes=1 if w_int8 else 2),
         inj=inj, Ta=Ta, Ta_real=int(inject["ta_real"]) if inj else 0,
-        Dg=Dg, Hi=int(inject["heads"]) if inj else 0)
+        Dg=Dg, Hi=int(inject["heads"]) if inj else 0, w_int8=w_int8)
     call = _build_call(meta, _interpret_mode())
 
     args = [xp, layers["ln1"]["scale"][:, None, :],
@@ -935,10 +962,11 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
             il["ln"]["scale"].astype(jnp.float32)[:, None, :],
             il["ln"]["bias"].astype(jnp.float32)[:, None, :],
         ]
-    args += [layers[k]["s"][:, None, :] for k in wkeys]
+    if w_int8:
+        args += [layers[k]["s"][:, None, :] for k in wkeys]
     if inj:
         args += [il[k]["s"][:, None, :] for k in ("q", "o", "gate1")]
-    args += [layers[k]["q"] for k in wkeys]
+    args += [(layers[k]["q"] if w_int8 else layers[k]) for k in wkeys]
     if inj:
         args += [il[k]["q"] for k in ("q", "o", "gate1")]
         args += [inject["k"].astype(jnp.bfloat16),

@@ -106,9 +106,9 @@ class ContinuousBatchingEngine:
         temperature/top-p distribution and drafts are accepted up to the
         first mismatch (token-matching coupling — the emitted
         distribution is exactly plain sampling; generate/speculative.py
-        has the argument).  Requires the fused int8 kernel (no LoRA /
-        ORCA injection); falls back to plain ticks with a warning
-        otherwise.
+        has the argument).  Requires the fused verify kernel (int8 or
+        bf16 tower, no LoRA; ORCA needs an int8 cross-attn stack + int8
+        tower); falls back to plain ticks with a warning otherwise.
 
         on_overflow: "error" (default) rejects submissions whose context
         exceeds ``max_ctx`` with ValueError; "truncate" clips the left
@@ -206,13 +206,17 @@ class ContinuousBatchingEngine:
             # ORCA slots can speculate too: the verify kernel runs the
             # gated cross-attention in-kernel for all Kd draft positions
             # (requires an int8-quantized cross-attn stack)
+            from ..ops.quant import is_quantized
             ok = (model.params.get("lora") is None
                   and fused_supported(model.params["llm"], self.cfg,
                                       self.cache, kd=speculative_k)
                   and (self._inject_len == 0
-                       or fused_inject_supported(
-                           self._inject_params, self.cfg,
-                           self.inject_k.shape[2])))
+                       or (fused_inject_supported(
+                               self._inject_params, self.cfg,
+                               self.inject_k.shape[2])
+                           # injection rides the int8 weight ring only
+                           and is_quantized(
+                               model.params["llm"]["layers"]["wq"]))))
             if ok:
                 self.speculative_k = speculative_k
             else:

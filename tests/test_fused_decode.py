@@ -247,3 +247,36 @@ def test_fused_verify_per_row_positions(rng, monkeypatch):
             rk = np.asarray(ref_cache.k[:, b, ctx[b] + j], np.float32)
             gk = np.asarray(got_cache.k[:, b, ctx[b] + j], np.float32)
             assert np.max(np.abs(rk - gk)) < 0.05
+
+
+def test_fused_bf16_tower_matches_xla(rng, monkeypatch):
+    """Unquantized (bf16) towers stream through the same fused kernel
+    (2x the bytes, no scales) — parity vs the XLA scan path."""
+    B, T_ctx, S = 2, 8, 128
+    cfg = _nano_cfg(False)
+    params = jllm.init_llm(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    bp = tree_cast(params, jnp.bfloat16)
+    cache = jllm.init_kv_cache(cfg, B, S, dtype=jnp.bfloat16)
+    _, cache, mask = _prefill(cfg, bp, cache, B, T_ctx, S, rng)
+    tok = jnp.asarray(rng.integers(2, 500, size=(B, 1)), jnp.int32)
+    mask = mask.at[:, T_ctx].set(1)
+    pos = jnp.full((B, 1), T_ctx, jnp.int32)
+
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "0")
+    ref_logits, ref_cache, _ = _one_step(cfg, bp, cache, tok, mask,
+                                         pos, T_ctx)
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    from desta25_audio_tpu.ops.fused_decode import fused_supported
+    assert fused_supported(bp, cfg, cache)
+    got_logits, got_cache, _ = _one_step(cfg, bp, cache, tok, mask,
+                                         pos, T_ctx)
+
+    ref = np.asarray(ref_logits[:, 0], np.float32)
+    got = np.asarray(got_logits[:, 0], np.float32)
+    assert np.max(np.abs(ref - got)) / (np.abs(ref).max() + 1e-6) < 3e-2
+    gk = np.asarray(got_cache.k, np.float32)
+    rk = np.asarray(ref_cache.k, np.float32)
+    assert np.max(np.abs(rk - gk)) < 0.05
+    # f32 towers stay on the XLA path
+    assert not fused_supported(tree_cast(params, jnp.float32), cfg, cache)

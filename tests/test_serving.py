@@ -445,8 +445,9 @@ def test_engine_speculative_sampled_tiny_temp_matches_greedy(
 
 
 def test_engine_speculative_fallback_when_unsupported(model):
-    """bf16 (unquantized) weights can't run the fused verify kernel: the
-    engine must fall back to plain ticks with a warning, not crash."""
+    """f32 weights/cache can't run the fused verify kernel (bf16
+    towers now can — the kernel streams bf16 weights too): the engine
+    must fall back to plain ticks with a warning, not crash."""
     eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=64,
                                    max_new_tokens=4, ctx_bucket=64,
                                    speculative_k=4)
