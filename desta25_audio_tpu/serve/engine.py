@@ -86,7 +86,8 @@ class ContinuousBatchingEngine:
                  ctx_bucket: int = 64, seed: int = 0,
                  steps_per_tick: int = 8, on_token=None,
                  speculative_k: int = 0,
-                 on_overflow: str = "error"):
+                 on_overflow: str = "error",
+                 pipeline_ticks: bool = False):
         """n_slots=16 / steps_per_tick=8 defaults: measured on v5e-1 with
         the fused int8 decode kernel, in-kernel per-row cache writes and
         the top-k candidate sampler — 8 slots ~780 tok/s, 16 slots
@@ -113,7 +114,21 @@ class ContinuousBatchingEngine:
         on_overflow: "error" (default) rejects submissions whose context
         exceeds ``max_ctx`` with ValueError; "truncate" clips the left
         side and marks the request ``truncated`` in its result — never
-        silent (VERDICT r2 weak #2)."""
+        silent (VERDICT r2 weak #2).
+
+        pipeline_ticks=True runs ONE-TICK-LOOKAHEAD dispatch: tick N+1
+        is dispatched immediately, chained on tick N's device-resident
+        last tokens, and tick N's results are fetched afterwards — the
+        host sync (tunnel RTT + token bookkeeping, ~30% of a loaded
+        tick here) hides behind the next tick's device time.  Token
+        trajectories are identical for greedy requests (a finished
+        request's slot decodes one extra "zombie" tick whose tokens are
+        discarded; admissions overwrite the slot wholesale).  Sampled
+        requests stay correctly distributed but draw different RNG
+        streams than the sequential engine (tick indices shift).
+        Incompatible with speculative_k (variable per-tick advance
+        can't be pre-applied); latency per token rises by up to one
+        tick."""
         self.model = model
         self.on_token = on_token
         self.cfg = model.llm_cfg
@@ -226,6 +241,15 @@ class ContinuousBatchingEngine:
                     "bf16 cache, no LoRA/mesh; ORCA additionally needs "
                     "an int8 cross-attn stack); serving falls back to "
                     "plain decode ticks", speculative_k)
+        self.pipeline_ticks = bool(pipeline_ticks) and self.speculative_k == 0
+        if pipeline_ticks and speculative_k >= 2:
+            logger.warning("pipeline_ticks is incompatible with "
+                           "speculative_k; running sequential ticks")
+        # device-resident current tokens (pipelined mode): dispatches
+        # chain on this without a host sync; admissions patch it
+        self._cur_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._inflight = None  # (outs_dev, [(slot, req)], write_pos)
+
         # per-slot n-gram history (device-resident across ticks); slack
         # covers the worst-case device overshoot within one tick
         hcap = self.t_max + self.steps_per_tick * max(speculative_k, 1) + 8
@@ -636,6 +660,11 @@ class ContinuousBatchingEngine:
                 self._finish(s, "eos")
             elif len(req.tokens) >= req.max_new_tokens:
                 self._finish(s, "length")
+        if self.pipeline_ticks:
+            # patch the device-resident current tokens for the admitted
+            # slots (continuing slots keep their device-chained values)
+            self._cur_dev = self._cur_dev.at[jnp.asarray(slots)].set(
+                jnp.asarray(tok[:R].astype(np.int32)))
 
     def _admit_queued(self):
         """Admit queued requests into free slots — requests sharing the
@@ -694,15 +723,40 @@ class ContinuousBatchingEngine:
             # ``steps_per_tick`` decode steps for every slot in one
             # program (inactive slots compute on garbage and are ignored —
             # the batch shape stays fixed; the scan sets its own per-step
-            # mask bits)
+            # mask bits).  Pipelined mode chains on the device-resident
+            # token vector instead of the host copy.
+            toks_in = (self._cur_dev if self.pipeline_ticks
+                       else jnp.asarray(self.cur_tok))
             outs, self.cache = self._decode_jit(
                 self.model.params["llm"], self._inject_params, self.cache,
-                jnp.asarray(self.cur_tok), jnp.asarray(self.slot_rope),
+                toks_in, jnp.asarray(self.slot_rope),
                 jnp.asarray(write_pos), jnp.asarray(self.slot_mask),
                 self.inject_k, self.inject_v,
                 jnp.asarray(self.inject_on),
                 jnp.asarray(self.slot_temp), jnp.asarray(self.slot_top_p),
                 jnp.asarray(self.slot_sample), self._next_key())
+
+        if self.pipeline_ticks:
+            new_inflight = None
+            if outs is not None:
+                # optimistic host advance (zombies corrected at consume:
+                # a retired slot's state is zeroed by _finish, and
+                # admissions overwrite the slot wholesale)
+                self._cur_dev = outs[K - 1]
+                for s in active:
+                    self.slot_mask[s, write_pos[s]:write_pos[s] + K] = 1
+                    self.slot_pos[s] = min(self.slot_pos[s] + K,
+                                           self.t_max)
+                    self.slot_rope[s] += K
+                new_inflight = (outs,
+                                [(s, self.slot_req[s]) for s in active],
+                                write_pos)
+            self._admit_queued()
+            finished = []
+            if self._inflight is not None:
+                finished = self._consume_tick(*self._inflight)
+            self._inflight = new_inflight
+            return finished
 
         self._admit_queued()
         if outs is None:
@@ -710,11 +764,22 @@ class ContinuousBatchingEngine:
         if self.speculative_k:
             return self._consume_spec_tick(active, np.asarray(outs),
                                            np.asarray(ms), write_pos)
-        outs = np.asarray(outs)  # [K, n_slots] (sync point)
+        return self._consume_tick(
+            outs, [(s, self.slot_req[s]) for s in active], write_pos,
+            advance=True)
 
+    def _consume_tick(self, outs, slot_reqs, write_pos,
+                      advance: bool = False) -> List[int]:
+        """Host bookkeeping for a plain tick.  ``advance=True``
+        (sequential mode) also moves the slot cursors; pipelined mode
+        pre-advanced them at dispatch and here only retires finished
+        requests and discards zombie-tick tokens."""
+        K = self.steps_per_tick
+        outs = np.asarray(outs)  # [K, n_slots] (sync point)
         finished = []
-        for s in active:
-            req = self.slot_req[s]
+        for s, req in slot_reqs:
+            if req.done or self.slot_req[s] is not req:
+                continue  # zombie tick of an already-retired request
             fin = None
             # only writes that landed inside the cache count
             steps_ok = min(K, self.t_max - int(write_pos[s]))
@@ -735,7 +800,7 @@ class ContinuousBatchingEngine:
             if fin:
                 finished.append(req.rid)
                 self._finish(s, fin)
-            else:
+            elif advance:
                 self.slot_mask[s, write_pos[s]:write_pos[s] + K] = 1
                 self.slot_pos[s] += K
                 self.slot_rope[s] += K

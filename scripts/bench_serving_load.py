@@ -53,6 +53,9 @@ SPEC_K = 0
 for a in sys.argv[1:]:
     if a.startswith("--spec"):
         SPEC_K = int(a.split("=")[1]) if "=" in a else 4
+# --pipeline: one-tick-lookahead dispatch (hides host sync + RTT behind
+# the next tick's device time; greedy trajectories unchanged)
+PIPELINE = "--pipeline" in sys.argv[1:]
 N_SLOTS = int(ARGS[0]) if len(ARGS) > 0 else 8
 N_REQUESTS = int(ARGS[1]) if len(ARGS) > 1 else 48
 MAX_NEW = 48
@@ -111,7 +114,8 @@ def main():
 
     eng = ContinuousBatchingEngine(
         model, n_slots=N_SLOTS, max_ctx=256, max_new_tokens=MAX_NEW,
-        ctx_bucket=128, steps_per_tick=8, speculative_k=SPEC_K)
+        ctx_bucket=128, steps_per_tick=8, speculative_k=SPEC_K,
+        pipeline_ticks=PIPELINE)
     if SPEC_K:
         assert eng.speculative_k == SPEC_K, "spec ticks not eligible here"
 

@@ -455,3 +455,27 @@ def test_engine_speculative_fallback_when_unsupported(model):
     rid = eng.submit([{"role": "user", "content": "hi"}])
     res = eng.run_until_done()
     assert isinstance(res[rid], str)
+
+
+def test_engine_pipelined_ticks_match_sequential(model, wavs):
+    """pipeline_ticks=True (one-tick-lookahead dispatch) must produce
+    identical greedy results across slot reuse; zombie-tick tokens are
+    discarded and admissions overwrite reused slots wholesale."""
+    MAX_NEW = 6
+    reqs = [_msgs(wavs[j % 3], j) for j in range(5)]
+
+    def run(pipeline):
+        eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                       max_new_tokens=MAX_NEW,
+                                       ctx_bucket=128, steps_per_tick=4,
+                                       pipeline_ticks=pipeline)
+        rids = [eng.submit(m) for m in reqs]
+        res = eng.run_until_done()
+        info = eng.results()
+        return [res[r] for r in rids], [info[r]["finish_reason"]
+                                        for r in rids]
+
+    seq_texts, seq_fins = run(False)
+    pip_texts, pip_fins = run(True)
+    assert pip_texts == seq_texts, (pip_texts, seq_texts)
+    assert pip_fins == seq_fins
