@@ -126,9 +126,9 @@ class ContinuousBatchingEngine:
         discarded; admissions overwrite the slot wholesale).  Sampled
         requests stay correctly distributed but draw different RNG
         streams than the sequential engine (tick indices shift).
-        Incompatible with speculative_k (variable per-tick advance
-        can't be pre-applied); latency per token rises by up to one
-        tick."""
+        Composes with speculative_k: spec ticks chain the cache index /
+        rope position on-device too (their per-tick advance is
+        data-dependent).  Latency per token rises by up to one tick."""
         self.model = model
         self.on_token = on_token
         self.cfg = model.llm_cfg
@@ -241,14 +241,15 @@ class ContinuousBatchingEngine:
                     "bf16 cache, no LoRA/mesh; ORCA additionally needs "
                     "an int8 cross-attn stack); serving falls back to "
                     "plain decode ticks", speculative_k)
-        self.pipeline_ticks = bool(pipeline_ticks) and self.speculative_k == 0
-        if pipeline_ticks and speculative_k >= 2:
-            logger.warning("pipeline_ticks is incompatible with "
-                           "speculative_k; running sequential ticks")
-        # device-resident current tokens (pipelined mode): dispatches
-        # chain on this without a host sync; admissions patch it
+        self.pipeline_ticks = bool(pipeline_ticks)
+        # device-resident slot state (pipelined mode): dispatches chain
+        # on these without a host sync; admissions patch them.  Spec
+        # ticks additionally chain cache index / rope position (their
+        # per-tick advance is data-dependent).
         self._cur_dev = jnp.zeros((n_slots,), jnp.int32)
-        self._inflight = None  # (outs_dev, [(slot, req)], write_pos)
+        self._ci_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._pos_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._inflight = None  # (kind, payload, [(slot, req)], ...)
 
         # per-slot n-gram history (device-resident across ticks); slack
         # covers the worst-case device overshoot within one tick
@@ -488,9 +489,9 @@ class ContinuousBatchingEngine:
 
         done0 = write_pos > S - Kd
         init = (toks, cache, write_pos, rope_pos, hist, hlen, done0)
-        (cur, cache, _, _, hist, hlen, _), (emits, ms) = jax.lax.scan(
-            body, init, jnp.arange(self.steps_per_tick))
-        return emits, ms, cur, cache, hist, hlen
+        (cur, cache, ci_f, pos_f, hist, hlen, _), (emits, ms) = \
+            jax.lax.scan(body, init, jnp.arange(self.steps_per_tick))
+        return emits, ms, cur, cache, hist, hlen, ci_f, pos_f
 
     @functools.cached_property
     def _rope_jit(self):
@@ -661,10 +662,14 @@ class ContinuousBatchingEngine:
             elif len(req.tokens) >= req.max_new_tokens:
                 self._finish(s, "length")
         if self.pipeline_ticks:
-            # patch the device-resident current tokens for the admitted
+            # patch the device-resident slot state for the admitted
             # slots (continuing slots keep their device-chained values)
-            self._cur_dev = self._cur_dev.at[jnp.asarray(slots)].set(
+            sl_d = jnp.asarray(slots)
+            self._cur_dev = self._cur_dev.at[sl_d].set(
                 jnp.asarray(tok[:R].astype(np.int32)))
+            self._ci_dev = self._ci_dev.at[sl_d].set(Tb)
+            self._pos_dev = self._pos_dev.at[sl_d].set(
+                jnp.asarray(last_pos[:R].astype(np.int32)) + 1)
 
     def _admit_queued(self):
         """Admit queued requests into free slots — requests sharing the
@@ -706,11 +711,15 @@ class ContinuousBatchingEngine:
             # compiled variants).
             nsp = (self.speculative_k
                    if any(self.slot_sample[s] for s in active) else 1)
-            outs, ms, cur, self.cache, self.hist, self.hlen = \
-                self._spec_jit(
+            pipe = self.pipeline_ticks
+            outs, ms, cur, self.cache, self.hist, self.hlen, ci_f, \
+                pos_f = self._spec_jit(
                     self.model.params["llm"], self._inject_params,
-                    self.cache, jnp.asarray(self.cur_tok),
-                    jnp.asarray(self.slot_rope), jnp.asarray(write_pos),
+                    self.cache,
+                    self._cur_dev if pipe else jnp.asarray(self.cur_tok),
+                    self._pos_dev if pipe
+                    else jnp.asarray(self.slot_rope),
+                    self._ci_dev if pipe else jnp.asarray(write_pos),
                     jnp.asarray(self.slot_mask),
                     self.inject_k, self.inject_v,
                     jnp.asarray(self.inject_on),
@@ -719,6 +728,9 @@ class ContinuousBatchingEngine:
                     jnp.asarray(self.slot_top_p),
                     jnp.asarray(self.slot_sample), self._next_key(),
                     sample_positions=nsp)
+            if pipe:
+                self._cur_dev, self._ci_dev, self._pos_dev = \
+                    cur, ci_f, pos_f
         elif active:
             # ``steps_per_tick`` decode steps for every slot in one
             # program (inactive slots compute on garbage and are ignored —
@@ -739,22 +751,35 @@ class ContinuousBatchingEngine:
         if self.pipeline_ticks:
             new_inflight = None
             if outs is not None:
-                # optimistic host advance (zombies corrected at consume:
-                # a retired slot's state is zeroed by _finish, and
-                # admissions overwrite the slot wholesale)
-                self._cur_dev = outs[K - 1]
-                for s in active:
-                    self.slot_mask[s, write_pos[s]:write_pos[s] + K] = 1
-                    self.slot_pos[s] = min(self.slot_pos[s] + K,
-                                           self.t_max)
-                    self.slot_rope[s] += K
-                new_inflight = (outs,
-                                [(s, self.slot_req[s]) for s in active],
-                                write_pos)
+                slot_reqs = [(s, self.slot_req[s]) for s in active]
+                if self.speculative_k:
+                    # spec advance is data-dependent: slot cursors stay
+                    # lagged (consume-updated); device state chains
+                    new_inflight = ("spec", outs, ms, slot_reqs)
+                else:
+                    # optimistic host advance (zombies corrected at
+                    # consume: a retired slot's state is zeroed by
+                    # _finish, and admissions overwrite the slot
+                    # wholesale)
+                    self._cur_dev = outs[K - 1]
+                    for s in active:
+                        self.slot_mask[s,
+                                       write_pos[s]:write_pos[s] + K] = 1
+                        self.slot_pos[s] = min(self.slot_pos[s] + K,
+                                               self.t_max)
+                        self.slot_rope[s] += K
+                    new_inflight = ("plain", outs, slot_reqs, write_pos)
             self._admit_queued()
             finished = []
             if self._inflight is not None:
-                finished = self._consume_tick(*self._inflight)
+                kind, *payload = self._inflight
+                if kind == "spec":
+                    e, m_, sr = payload
+                    finished = self._consume_spec_tick(
+                        sr, np.asarray(e), np.asarray(m_),
+                        self.slot_pos.copy())
+                else:
+                    finished = self._consume_tick(*payload)
             self._inflight = new_inflight
             return finished
 
@@ -762,8 +787,9 @@ class ContinuousBatchingEngine:
         if outs is None:
             return []
         if self.speculative_k:
-            return self._consume_spec_tick(active, np.asarray(outs),
-                                           np.asarray(ms), write_pos)
+            return self._consume_spec_tick(
+                [(s, self.slot_req[s]) for s in active],
+                np.asarray(outs), np.asarray(ms), write_pos)
         return self._consume_tick(
             outs, [(s, self.slot_req[s]) for s in active], write_pos,
             advance=True)
@@ -807,13 +833,17 @@ class ContinuousBatchingEngine:
                 self.cur_tok[s] = int(outs[K - 1, s])
         return finished
 
-    def _consume_spec_tick(self, active, outs, ms, write_pos):
+    def _consume_spec_tick(self, slot_reqs, outs, ms, write_pos):
         """Host bookkeeping for a spec tick.  outs: [K, n_slots, Kd]
-        candidate tokens per step; ms: [K, n_slots] accepted counts."""
+        candidate tokens per step; ms: [K, n_slots] accepted counts.
+        ``write_pos`` is each slot's pre-tick cursor (captured at
+        dispatch in sequential mode; in pipelined mode the lagged
+        ``slot_pos`` mirror at consume time is exactly that)."""
         K = self.steps_per_tick
         finished = []
-        for s in active:
-            req = self.slot_req[s]
+        for s, req in slot_reqs:
+            if req.done or self.slot_req[s] is not req:
+                continue  # zombie tick of an already-retired request
             fin = None
             advanced = 0
             for j in range(K):

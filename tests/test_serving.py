@@ -479,3 +479,25 @@ def test_engine_pipelined_ticks_match_sequential(model, wavs):
     pip_texts, pip_fins = run(True)
     assert pip_texts == seq_texts, (pip_texts, seq_texts)
     assert pip_fins == seq_fins
+
+
+def test_engine_pipelined_spec_matches_sequential(wavs, monkeypatch):
+    """Pipelined speculative ticks (device-chained cache index / rope /
+    history) emit the same greedy trajectories as the sequential spec
+    engine, across slot reuse."""
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    m = _spec_model()
+    reqs = [_msgs(wavs[j % 3], j) for j in range(3)]
+
+    def run(pipeline):
+        eng = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
+                                       max_new_tokens=5, ctx_bucket=128,
+                                       speculative_k=3, steps_per_tick=2,
+                                       pipeline_ticks=pipeline)
+        assert eng.speculative_k == 3
+        rids = [eng.submit(q) for q in reqs]
+        res = eng.run_until_done()
+        return [res[r] for r in rids]
+
+    assert run(True) == run(False)
