@@ -394,3 +394,42 @@ def test_from_pretrained_orca_xattn_quant(tmp_path, monkeypatch):
     out = m2.generate([{"role": "user", "content": "Hi."}],
                       max_new_tokens=3, do_sample=False).text[0]
     assert isinstance(out, str)
+
+
+def test_fused_inject_per_row_cache_index(rng, monkeypatch):
+    """Injected decode at per-row cache positions (continuous-batching
+    shape: every slot sits at its own offset)."""
+    B, S, Ta = 3, 128, 16
+    cfg = _nano_cfg(512, 4, 2)
+    qparams, xattn, cache, (inj_k, inj_v) = _setup(cfg, B, S, Ta, seed=9)
+    on = jnp.asarray([1.0, 0.0, 1.0], jnp.float32)
+    ctx = np.array([5, 9, 14], np.int32)
+    ids = jnp.asarray(rng.integers(2, 500, size=(B, 16)), jnp.int32)
+    fn = _xla_inject_fn(xattn, inj_k, inj_v, 4, on)
+    _, cache, _ = jllm.llm_apply(
+        qparams, cfg, input_ids=ids,
+        attention_mask=jnp.zeros((B, S), jnp.int32).at[:, :16].set(1),
+        cache=cache, cache_index=0, extra_layer_fn=fn)
+    ci = jnp.asarray(ctx)
+    mask_np = np.zeros((B, S), np.int32)
+    for b in range(B):
+        mask_np[b, :ctx[b] + 1] = 1
+    mask = jnp.asarray(mask_np)
+    tok = jnp.asarray(rng.integers(2, 500, size=(B, 1)), jnp.int32)
+    pos = ci[:, None]
+
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "0")
+    ref_logits, _, _ = jllm.llm_apply(
+        qparams, cfg, input_ids=tok, attention_mask=mask, positions=pos,
+        cache=cache, cache_index=ci, extra_layer_fn=fn)
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    spec = dict(params=xattn, k=inj_k, v=inj_v, ta_real=Ta, heads=4,
+                on=on)
+    got_logits, _, _ = jllm.llm_apply(
+        qparams, cfg, input_ids=tok, attention_mask=mask, positions=pos,
+        cache=cache, cache_index=ci, extra_layer_fn=fn,
+        fused_injection=spec)
+    ref = np.asarray(ref_logits[:, 0], np.float32)
+    got = np.asarray(got_logits[:, 0], np.float32)
+    assert np.max(np.abs(ref - got)) / (np.abs(ref).max() + 1e-6) < 3e-2
