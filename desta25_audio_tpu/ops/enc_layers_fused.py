@@ -1,0 +1,342 @@
+"""Whole-encoder-stack fusion: all L whisper-encoder layers in ONE
+pallas_call, residual stream resident in VMEM.
+
+Round-3 attribution (scripts/decomp_enc_layer.py + docs/perf_roofline.md
+§1): the encoder runs at ~63% MXU with the per-op path — the packed
+attention and fused-FFN kernels removed the worst relayouts, but every
+layer still round-trips the [B*T, D] activation stream through HBM at
+each kernel boundary (~0.4-0.5 ms/layer at b8) and re-pays pipeline fill
+per launch.  This kernel keeps the hidden state in a VMEM scratch across
+ALL layers and batch rows:
+
+- ``grid = (L, B)`` — sequential grid steps on one core; step (l, b)
+  advances batch row b through layer l.  The residual stream lives in
+  ``hbuf [B, Tp, D]`` (b8 whisper-large-v3: 30.8 MB) and never touches
+  HBM between layers; taps and the final hidden are DMA'd out at their
+  layers.
+- Per-layer weights (q/k/v/o + fc1/fc2, ~39 MB bf16 at large-v3) are
+  manually DMA'd into resident VMEM buffers once per layer (at b == 0)
+  and reused for every batch row — single-buffered; the ~48 µs fetch
+  stall per layer is ~2% of the layer's compute.
+- Attention reuses the packed-layout design of ops/enc_attention.py:
+  heads live in 128-lane groups (128 // Dh per group), scores per head
+  are one [Tp, Dh] x [Dh, Tp] MXU dot on lane slices, the head loop is
+  software-pipelined (head h+1's QK^T issues before head h's softmax),
+  and kv columns >= the true T are masked.  The attention output reuses
+  the q scratch (group g's output lands in q's group-g lanes after
+  both of its heads have consumed them).
+- The FFN phase chunks fc1/fc2 over the hidden dim like ops/enc_ffn.py
+  (f32 fc1 accumulation feeds the erf-gelu directly, chunk c's gelu
+  overlaps chunk c+1's MXU work).
+
+Numerics match the per-op path: LayerNorm f32, projections f32-accum +
+bias then bf16, residual adds in bf16, softmax f32, PV bf16, gelu f32 of
+the f32 fc1 accumulator (the enc_ffn kernel's convention — slightly MORE
+precise than XLA's bf16 round between fc1 and gelu).
+
+Forward-only (the encoder is frozen — reference
+modeling_desta25.py:1439-1463); the custom-VJP backward recomputes
+through the per-op path.  Dispatch is OPT-IN via
+``DESTA_FUSED_ENC_LAYERS=1`` until the TPU A/B lands (the per-op path is
+the measured 1560 audio-sec/s baseline); ``DESTA_FUSED_INTERPRET=1``
+runs it on the CPU interpreter for tests.
+
+Reference behavior: the whisper encoder hot loop,
+modeling_desta25.py:575-608.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .enc_ffn import _gelu_f32
+
+_LANES = 128
+_HBUF_CAP = 40 * 1024 * 1024   # VMEM bytes for the resident hidden state
+_F_CHUNK = 512                 # fc hidden-dim chunk (ops/enc_ffn.py uses
+#                                256-512; 512 keeps the chunk loop short)
+
+
+class _Meta(NamedTuple):
+    L: int
+    B: int
+    T: int       # true sequence length (kv mask bound)
+    Tp: int      # padded rows (multiple of 8)
+    D: int
+    F: int
+    H: int
+    taps: Tuple[int, ...]   # target layer ids (static)
+    eps: float
+
+
+def fused_enc_supported(B: int, T: int, D: int, F: int, H: int,
+                        dtype) -> bool:
+    """Static dispatch predicate for the whole-stack kernel."""
+    if os.environ.get("DESTA_FUSED_ENC_LAYERS", "0") in ("0", "false"):
+        return False
+    if dtype != jnp.bfloat16:
+        return False
+    if D % _LANES or F % _F_CHUNK:
+        return False
+    dh = D // H
+    if _LANES % dh:
+        return False
+    Tp = -(-T // 8) * 8
+    if B * Tp * D * 2 > _HBUF_CAP:
+        return False
+    if jax.default_backend() != "tpu" and not _interpret():
+        return False
+    return True
+
+
+def _interpret() -> bool:
+    return os.environ.get("DESTA_FUSED_INTERPRET", "0") == "1"
+
+
+def _make_kernel(m: _Meta):
+    dh = m.D // m.H
+    groups = m.D // _LANES
+    hpg = _LANES // dh          # heads per 128-lane group
+    scale = 1.0 / math.sqrt(dh)
+    folded = math.log2(scale) == round(math.log2(scale))
+    n_chunks = m.F // _F_CHUNK
+    n_taps = len(m.taps)
+
+    def kernel(*refs):
+        (ln1s, ln1b, ln2s, ln2b, bq, bv, bo, b1, b2,
+         x, wq, wk, wv, wo, f1, f2,
+         hid_out, taps_out,
+         hbuf, xn, qs, ks, vs, facc,
+         wqb, wkb, wvb, wob, f1b, f2b,
+         insem, wsem, fsem, osem) = refs
+
+        l = pl.program_id(0)
+        b = pl.program_id(1)
+
+        def cp(src, dst, sem):
+            return pltpu.make_async_copy(src, dst, sem)
+
+        # load the whole batch's hidden stream once
+        @pl.when(jnp.logical_and(l == 0, b == 0))
+        def _():
+            for bb in range(m.B):
+                cp(x.at[bb], hbuf.at[bb], insem.at[bb]).start()
+            for bb in range(m.B):
+                cp(x.at[bb], hbuf.at[bb], insem.at[bb]).wait()
+
+        # layer weights: fetched once per layer, reused for every row.
+        # Single-buffered — the ~39 MB fetch (~48 us) is ~2% of the
+        # layer's ~3 ms of compute at b8.
+        @pl.when(b == 0)
+        def _():
+            cp(wq.at[l], wqb, wsem.at[0]).start()
+            cp(wk.at[l], wkb, wsem.at[1]).start()
+            cp(wv.at[l], wvb, wsem.at[2]).start()
+            cp(wo.at[l], wob, wsem.at[3]).start()
+            cp(f1.at[l], f1b, fsem.at[0]).start()
+            cp(f2.at[l], f2b, fsem.at[1]).start()
+            for i in range(4):
+                cp(wq.at[l], wqb, wsem.at[i]).wait()
+            cp(f1.at[l], f1b, fsem.at[0]).wait()
+            cp(f2.at[l], f2b, fsem.at[1]).wait()
+
+        def ln(val, s_ref, b_ref):
+            xf = val.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+            y = (xf - mu) * jax.lax.rsqrt(var + m.eps)
+            return (y * s_ref[0].astype(jnp.float32)
+                    + b_ref[0].astype(jnp.float32))
+
+        def proj(src_bf16, w_ref, bias_ref):
+            p = jnp.dot(src_bf16, w_ref[:],
+                        preferred_element_type=jnp.float32)
+            if bias_ref is not None:
+                p = p + bias_ref[0].astype(jnp.float32)
+            return p.astype(jnp.bfloat16)
+
+        h = hbuf[b]                                   # [Tp, D] bf16
+        x1 = ln(h, ln1s, ln1b).astype(jnp.bfloat16)
+        qs[:] = proj(x1, wqb, bq)
+        ks[:] = proj(x1, wkb, None)
+        vs[:] = proj(x1, wvb, bv)
+
+        # ---- packed attention (ops/enc_attention.py design) ----------
+        col = jax.lax.broadcasted_iota(jnp.int32, (m.Tp, m.Tp), 1)
+        valid = col < m.T
+        vrow = jax.lax.broadcasted_iota(jnp.int32, (m.Tp, _LANES), 0)
+        for g in range(groups):
+            sl = slice(g * _LANES, (g + 1) * _LANES)
+            qg = qs[:, sl]
+            if folded:
+                qg = qg * jnp.asarray(scale, qg.dtype)
+            kg = ks[:, sl]
+            vg = jnp.where(vrow < m.T, vs[:, sl], 0).astype(jnp.bfloat16)
+
+            def score(hh):
+                lo = hh * dh
+                s = jax.lax.dot_general(
+                    qg[:, lo:lo + dh], kg[:, lo:lo + dh],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if not folded:
+                    s = s * scale
+                return jnp.where(valid, s, -1e30)
+
+            ss = [None] * hpg
+            ss[0] = score(0)
+            outs = []
+            for hh in range(hpg):
+                if hh + 1 < hpg:
+                    ss[hh + 1] = score(hh + 1)
+                s = ss[hh]
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - mx)
+                den = jnp.sum(e, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    e.astype(jnp.bfloat16), vg[:, hh * dh:(hh + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                outs.append(o / den)
+            # group g's q lanes are dead now: reuse them for the output
+            qs[:, sl] = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
+
+        h = h + proj(qs[:], wob, bo)                  # o proj + residual
+        x2 = ln(h, ln2s, ln2b).astype(jnp.bfloat16)
+
+        # ---- chunked FFN (ops/enc_ffn.py design) ---------------------
+        for c in range(n_chunks):
+            cs = slice(c * _F_CHUNK, (c + 1) * _F_CHUNK)
+            fh = jnp.dot(x2, f1b[:, cs],
+                         preferred_element_type=jnp.float32)
+            fh = fh + b1[0][:, cs].astype(jnp.float32)
+            g2 = _gelu_f32(fh).astype(jnp.bfloat16)
+            p = jnp.dot(g2, f2b[cs, :],
+                        preferred_element_type=jnp.float32)
+            if c == 0:
+                facc[:] = p
+            else:
+                facc[:] += p
+        ffn = (facc[:] + b2[0].astype(jnp.float32)).astype(jnp.bfloat16)
+        h = h + ffn
+        hbuf[b] = h
+
+        # tap / final emission (post-layer, pre-final-LN — reference
+        # inline connector inputs, modeling_desta25.py:575-598)
+        for ti, tl in enumerate(m.taps):
+            @pl.when(l == tl)
+            def _(ti=ti):
+                cp(hbuf.at[b], taps_out.at[ti, b], osem.at[0]).start()
+                cp(hbuf.at[b], taps_out.at[ti, b], osem.at[0]).wait()
+
+        @pl.when(l == m.L - 1)
+        def _():
+            cp(hbuf.at[b], hid_out.at[b], osem.at[0]).start()
+            cp(hbuf.at[b], hid_out.at[b], osem.at[0]).wait()
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def _build_call(m: _Meta, interpret: bool):
+    vm = pltpu.VMEM
+    bf16, f32 = jnp.bfloat16, jnp.float32
+    n_taps = max(len(m.taps), 1)
+
+    def lvec(n):
+        return pl.BlockSpec((1, 1, n), lambda l, b: (l, 0, 0),
+                            memory_space=vm)
+
+    # order: ln1s ln1b ln2s ln2b bq bv bo b1 b2
+    in_specs = [lvec(m.D)] * 7 + [lvec(m.F)] + [lvec(m.D)]
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 7  # x + 6 weights
+
+    out_shape = [
+        jax.ShapeDtypeStruct((m.B, m.Tp, m.D), bf16),           # hidden
+        jax.ShapeDtypeStruct((n_taps, m.B, m.Tp, m.D), bf16),   # taps
+    ]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    scratch = [
+        pltpu.VMEM((m.B, m.Tp, m.D), bf16),   # hbuf (resident stream)
+        pltpu.VMEM((m.Tp, m.D), bf16),        # xn (unused placeholder)
+        pltpu.VMEM((m.Tp, m.D), bf16),        # qs (q, then attn out)
+        pltpu.VMEM((m.Tp, m.D), bf16),        # ks
+        pltpu.VMEM((m.Tp, m.D), bf16),        # vs
+        pltpu.VMEM((m.Tp, m.D), f32),         # facc (FFN accumulator)
+        pltpu.VMEM((m.D, m.D), bf16),         # wqb
+        pltpu.VMEM((m.D, m.D), bf16),         # wkb
+        pltpu.VMEM((m.D, m.D), bf16),         # wvb
+        pltpu.VMEM((m.D, m.D), bf16),         # wob
+        pltpu.VMEM((m.D, m.F), bf16),         # f1b
+        pltpu.VMEM((m.F, m.D), bf16),         # f2b
+        pltpu.SemaphoreType.DMA((m.B,)),      # insem
+        pltpu.SemaphoreType.DMA((4,)),        # wsem
+        pltpu.SemaphoreType.DMA((2,)),        # fsem
+        pltpu.SemaphoreType.DMA((1,)),        # osem
+    ]
+    return pl.pallas_call(
+        _make_kernel(m),
+        grid=(m.L, m.B),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=116 * 1024 * 1024),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+
+
+def fused_encoder_layers(layers: dict, x: jnp.ndarray, cfg,
+                         target_layer_ids: Tuple[int, ...] = ()
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run all encoder layers in one kernel.
+
+    layers: stacked encoder layer params ([L, ...] leaves, bf16 "w"
+    weights); x: [B, T, D] bf16 (post conv + positions).  Returns
+    (hidden [B, T, D] pre-final-LN, taps [n_taps, B, T, D]).
+    """
+    B, T, D = x.shape
+    L = layers["fc1"]["w"].shape[0]
+    F = layers["fc1"]["w"].shape[2]
+    H = cfg.encoder_attention_heads
+    Tp = -(-T // 8) * 8
+    meta = _Meta(L=L, B=B, T=T, Tp=Tp, D=D, F=F, H=H,
+                 taps=tuple(int(t) for t in target_layer_ids), eps=1e-5)
+    call = _build_call(meta, _interpret())
+
+    xp = x.astype(jnp.bfloat16)
+    if Tp != T:
+        xp = jnp.pad(xp, ((0, 0), (0, Tp - T), (0, 0)))
+    a = layers["attn"]
+    f32 = jnp.float32
+    args = [
+        layers["ln1"]["scale"].astype(f32)[:, None, :],
+        layers["ln1"]["bias"].astype(f32)[:, None, :],
+        layers["ln2"]["scale"].astype(f32)[:, None, :],
+        layers["ln2"]["bias"].astype(f32)[:, None, :],
+        a["q"]["b"].astype(f32)[:, None, :],
+        a["v"]["b"].astype(f32)[:, None, :],
+        a["o"]["b"].astype(f32)[:, None, :],
+        layers["fc1"]["b"].astype(f32)[:, None, :],
+        layers["fc2"]["b"].astype(f32)[:, None, :],
+        xp,
+        a["q"]["w"].astype(jnp.bfloat16),
+        a["k"]["w"].astype(jnp.bfloat16),
+        a["v"]["w"].astype(jnp.bfloat16),
+        a["o"]["w"].astype(jnp.bfloat16),
+        layers["fc1"]["w"].astype(jnp.bfloat16),
+        layers["fc2"]["w"].astype(jnp.bfloat16),
+    ]
+    hidden, taps = call(*args)
+    return hidden[:, :T], taps[:len(target_layer_ids) or 1, :, :T]
