@@ -114,7 +114,7 @@ def _make_kernel(m: _Meta):
         (ln1s, ln1b, ln2s, ln2b, bq, bv, bo, b1, b2,
          x, wq, wk, wv, wo, f1, f2,
          hid_out, taps_out,
-         hbuf, xn, qs, ks, vs, facc,
+         hbuf, qs, ks, vs, facc,
          wqb, wkb, wvb, wob, f1b, f2b,
          insem, wsem, fsem, osem) = refs
 
@@ -267,7 +267,6 @@ def _build_call(m: _Meta, interpret: bool):
                  pl.BlockSpec(memory_space=pl.ANY)]
     scratch = [
         pltpu.VMEM((m.B, m.Tp, m.D), bf16),   # hbuf (resident stream)
-        pltpu.VMEM((m.Tp, m.D), bf16),        # xn (unused placeholder)
         pltpu.VMEM((m.Tp, m.D), bf16),        # qs (q, then attn out)
         pltpu.VMEM((m.Tp, m.D), bf16),        # ks
         pltpu.VMEM((m.Tp, m.D), bf16),        # vs
