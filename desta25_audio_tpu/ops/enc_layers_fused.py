@@ -170,44 +170,53 @@ def _make_kernel(m: _Meta):
         vs[:] = proj(x1, wvb, bv)
 
         # ---- packed attention (ops/enc_attention.py design) ----------
-        col = jax.lax.broadcasted_iota(jnp.int32, (m.Tp, m.Tp), 1)
-        valid = col < m.T
+        # q rows are processed in 512-row blocks: full-Tp scores would
+        # keep two [Tp, Tp] f32 values live under the head pipeline
+        # (~18 MB at large-v3) on top of the resident scratches —
+        # row-blocking caps that at ~6 MB with the same math.
+        bq = min(512, m.Tp)
         vrow = jax.lax.broadcasted_iota(jnp.int32, (m.Tp, _LANES), 0)
         for g in range(groups):
             sl = slice(g * _LANES, (g + 1) * _LANES)
-            qg = qs[:, sl]
-            if folded:
-                qg = qg * jnp.asarray(scale, qg.dtype)
             kg = ks[:, sl]
             vg = jnp.where(vrow < m.T, vs[:, sl], 0).astype(jnp.bfloat16)
+            for r0 in range(0, m.Tp, bq):
+                nb = min(bq, m.Tp - r0)
+                qg = qs[r0:r0 + nb, sl]
+                if folded:
+                    qg = qg * jnp.asarray(scale, qg.dtype)
+                col = jax.lax.broadcasted_iota(jnp.int32, (nb, m.Tp), 1)
+                valid = col < m.T
 
-            def score(hh):
-                lo = hh * dh
-                s = jax.lax.dot_general(
-                    qg[:, lo:lo + dh], kg[:, lo:lo + dh],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                if not folded:
-                    s = s * scale
-                return jnp.where(valid, s, -1e30)
+                def score(hh):
+                    lo = hh * dh
+                    s = jax.lax.dot_general(
+                        qg[:, lo:lo + dh], kg[:, lo:lo + dh],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if not folded:
+                        s = s * scale
+                    return jnp.where(valid, s, -1e30)
 
-            ss = [None] * hpg
-            ss[0] = score(0)
-            outs = []
-            for hh in range(hpg):
-                if hh + 1 < hpg:
-                    ss[hh + 1] = score(hh + 1)
-                s = ss[hh]
-                mx = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - mx)
-                den = jnp.sum(e, axis=-1, keepdims=True)
-                o = jax.lax.dot_general(
-                    e.astype(jnp.bfloat16), vg[:, hh * dh:(hh + 1) * dh],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                outs.append(o / den)
-            # group g's q lanes are dead now: reuse them for the output
-            qs[:, sl] = jnp.concatenate(outs, axis=-1).astype(jnp.bfloat16)
+                ss = [None] * hpg
+                ss[0] = score(0)
+                outs = []
+                for hh in range(hpg):
+                    if hh + 1 < hpg:
+                        ss[hh + 1] = score(hh + 1)
+                    s = ss[hh]
+                    mx = jnp.max(s, axis=-1, keepdims=True)
+                    e = jnp.exp(s - mx)
+                    den = jnp.sum(e, axis=-1, keepdims=True)
+                    o = jax.lax.dot_general(
+                        e.astype(jnp.bfloat16),
+                        vg[:, hh * dh:(hh + 1) * dh],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    outs.append(o / den)
+                # this block's q lanes are dead: reuse them for the output
+                qs[r0:r0 + nb, sl] = jnp.concatenate(
+                    outs, axis=-1).astype(jnp.bfloat16)
 
         h = h + proj(qs[:], wob, bo)                  # o proj + residual
         x2 = ln(h, ln2s, ln2b).astype(jnp.bfloat16)
