@@ -305,6 +305,36 @@ def _build_call(m: _Meta, interpret: bool):
     )
 
 
+def _xla_stack(layers: dict, x: jnp.ndarray, n_heads: int,
+               target_layer_ids: Tuple[int, ...]):
+    """Pure-XLA replica of the stack (the VJP recompute path — the
+    encoder is frozen so this is never hot; forced off the pallas
+    sub-kernels so jax.vjp traces only differentiable ops)."""
+    import os as _os
+
+    from ..models.whisper import _enc_layer_apply
+    saved = _os.environ.get("DESTA_FUSED_ENC_FFN")
+    _os.environ["DESTA_FUSED_ENC_FFN"] = "0"
+    try:
+        h = x
+        taps = []
+        L = layers["ln1"]["scale"].shape[0]
+        for i in range(L):
+            p = jax.tree.map(lambda a: a[i], layers)
+            h = _enc_layer_apply(p, h, n_heads)
+            if i in target_layer_ids:
+                taps.append(h)
+        tap_arr = (jnp.stack(taps) if taps
+                   else jnp.zeros((1,) + h.shape, h.dtype))
+        return h, tap_arr
+    finally:
+        if saved is None:
+            _os.environ.pop("DESTA_FUSED_ENC_FFN", None)
+        else:
+            _os.environ["DESTA_FUSED_ENC_FFN"] = saved
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def fused_encoder_layers(layers: dict, x: jnp.ndarray, cfg,
                          target_layer_ids: Tuple[int, ...] = ()
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -314,6 +344,30 @@ def fused_encoder_layers(layers: dict, x: jnp.ndarray, cfg,
     weights); x: [B, T, D] bf16 (post conv + positions).  Returns
     (hidden [B, T, D] pre-final-LN, taps [n_taps, B, T, D]).
     """
+    return _fused_forward(layers, x, cfg, target_layer_ids)
+
+
+def _fused_fwd(layers, x, cfg, target_layer_ids):
+    return _fused_forward(layers, x, cfg, target_layer_ids), (layers, x)
+
+
+def _fused_bwd(cfg, target_layer_ids, res, g):
+    # Gradients recompute through the XLA path — correct, unfused.
+    # Never hot: the encoder is frozen (reference
+    # modeling_desta25.py:1439-1463).
+    layers, x = res
+    _, vjp = jax.vjp(
+        lambda ly, xx: _xla_stack(ly, xx, cfg.encoder_attention_heads,
+                                  target_layer_ids), layers, x)
+    return vjp(g)
+
+
+fused_encoder_layers.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fused_forward(layers: dict, x: jnp.ndarray, cfg,
+                   target_layer_ids: Tuple[int, ...] = ()
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, T, D = x.shape
     L = layers["fc1"]["w"].shape[0]
     F = layers["fc1"]["w"].shape[2]

@@ -132,3 +132,36 @@ def test_whisper_encoder_dispatch_fused_stack(monkeypatch):
         r = np.asarray(r, np.float32)
         g = np.asarray(g, np.float32)
         assert np.max(np.abs(r - g)) / (np.abs(r).max() + 1e-6) < 2e-2
+
+
+def test_fused_stack_vjp_falls_back_to_xla(monkeypatch):
+    """jax.grad through the fused stack recomputes via the XLA path
+    (the encoder is frozen in training, but the kernel must stay
+    differentiable — the convention of the other fused encoder ops)."""
+    monkeypatch.setenv("DESTA_FUSED_ENC_LAYERS", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    cfg, stacked, x = _setup(2, 1, 16, seed=2)
+
+    def loss(xx):
+        h, taps = fused_encoder_layers(stacked, xx, cfg, (0,))
+        return (jnp.sum(h.astype(jnp.float32) ** 2)
+                + jnp.sum(taps.astype(jnp.float32)))
+
+    g = jax.grad(loss)(x)
+    gn = np.asarray(g, np.float32)
+    assert np.isfinite(gn).all() and np.abs(gn).max() > 0
+
+    # grad matches the XLA stack's own gradient
+    from desta25_audio_tpu.ops.enc_layers_fused import _xla_stack
+
+    def loss_ref(xx):
+        h, taps = _xla_stack(stacked, xx, cfg.encoder_attention_heads,
+                             (0,))
+        return (jnp.sum(h.astype(jnp.float32) ** 2)
+                + jnp.sum(taps.astype(jnp.float32)))
+
+    gr = np.asarray(jax.grad(loss_ref)(x), np.float32)
+    # the cotangent is built from the FUSED forward's h (bf16
+    # accumulation-order differences vs XLA ~1%), so gradients match at
+    # the forward tolerance, not bit-exactly
+    assert np.max(np.abs(gr - gn)) / (np.abs(gr).max() + 1e-6) < 3e-2
