@@ -183,6 +183,14 @@ def main():
         # whole-encoder-stack fused kernel (ops/enc_layers_fused.py,
         # opt-in): driver-visible A/B against the per-op perception above
         os.environ["DESTA_FUSED_ENC_LAYERS"] = "1"
+        from desta25_audio_tpu.ops.enc_layers_fused import (
+            fused_enc_supported,
+        )
+        enc_c = cfg.encoder_config
+        assert fused_enc_supported(
+            BATCH, enc_c.max_source_positions, enc_c.d_model,
+            enc_c.encoder_ffn_dim, enc_c.encoder_attention_heads,
+            jnp.bfloat16), "fused stack gated off — would time per-op"
 
         def many_stack(ep, cp, x0):
             # fresh function object: jax.jit caches per function, and the
@@ -555,6 +563,14 @@ def bench_orca_decode(rtt):
             return jnp.sum(tok), cache
 
         return jax.jit(decode_scan, donate_argnums=(5,))
+
+    # pre-flight: the fused mode must actually take the in-kernel
+    # injection path — an identity fallback would silently measure
+    # injection-free decode and report it as the ORCA number
+    from desta25_audio_tpu.ops.fused_decode import fused_inject_supported
+    from desta25_audio_tpu.ops.quant import is_quantized
+    assert fused_inject_supported(xp, llm_cfg, TA), "inject kernel gated off"
+    assert is_quantized(lp["layers"]["wq"]), "tower must be int8"
 
     pf = jax.jit(prefill)
     out = {}

@@ -134,7 +134,7 @@ class DeSTA25AudioModel:
         decode path).  quantize=True additionally int8-quantizes the
         merged tower (requires an unquantized base).  Exact at
         inference; do NOT train or save checkpoints afterwards."""
-        lora = self.params.pop("lora", None)
+        lora = self.params.get("lora")
         if lora is None:
             return
         merged = jllm.merge_lora(self.params["llm"], lora,
@@ -142,7 +142,11 @@ class DeSTA25AudioModel:
         if quantize:
             from ..ops.quant import quantize_llm_params
             merged = jax.jit(quantize_llm_params)(merged)
+        # drop the adapters only once the merge succeeded — a failed
+        # merge (e.g. already-quantized base) must not silently strip
+        # the LoRA deltas from the model
         self.params["llm"] = merged
+        del self.params["lora"]
 
     def trainable_keys(self) -> Tuple[str, ...]:
         """Which top-level param subtrees train (reference

@@ -174,14 +174,14 @@ def _make_kernel(m: _Meta):
         # keep two [Tp, Tp] f32 values live under the head pipeline
         # (~18 MB at large-v3) on top of the resident scratches —
         # row-blocking caps that at ~6 MB with the same math.
-        bq = min(512, m.Tp)
+        bq_rows = min(512, m.Tp)
         vrow = jax.lax.broadcasted_iota(jnp.int32, (m.Tp, _LANES), 0)
         for g in range(groups):
             sl = slice(g * _LANES, (g + 1) * _LANES)
             kg = ks[:, sl]
             vg = jnp.where(vrow < m.T, vs[:, sl], 0).astype(jnp.bfloat16)
-            for r0 in range(0, m.Tp, bq):
-                nb = min(bq, m.Tp - r0)
+            for r0 in range(0, m.Tp, bq_rows):
+                nb = min(bq_rows, m.Tp - r0)
                 qg = qs[r0:r0 + nb, sl]
                 if folded:
                     qg = qg * jnp.asarray(scale, qg.dtype)
@@ -317,14 +317,18 @@ def _xla_stack(layers: dict, x: jnp.ndarray, n_heads: int,
     _os.environ["DESTA_FUSED_ENC_FFN"] = "0"
     try:
         h = x
-        taps = []
+        by_layer = {}
         L = layers["ln1"]["scale"].shape[0]
         for i in range(L):
             p = jax.tree.map(lambda a: a[i], layers)
             h = _enc_layer_apply(p, h, n_heads)
             if i in target_layer_ids:
-                taps.append(h)
-        tap_arr = (jnp.stack(taps) if taps
+                by_layer[i] = h
+        # emit taps in target_layer_ids ORDER (the kernel writes slot ti
+        # at l == taps[ti]) — ascending-layer order would mispair
+        # cotangents for unsorted tap ids
+        tap_arr = (jnp.stack([by_layer[t] for t in target_layer_ids])
+                   if target_layer_ids
                    else jnp.zeros((1,) + h.shape, h.dtype))
         return h, tap_arr
     finally:

@@ -881,7 +881,8 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
     [B] (position of each row's FIRST token).  Returns
     (hidden [B, Kd, D] bf16 pre-final-norm, new KVCache).
 
-    inject: optional in-kernel ORCA deep injection (Kd must be 1) — a
+    inject: optional in-kernel ORCA deep injection (any Kd — verify
+    steps run the cross-attention for every draft position) — a
     dict with ``params`` (int8-quantized orca_cross_attns tree), ``k`` /
     ``v`` ([L, B, Ta, D] audio K/V, Ta padded to a multiple of 8),
     ``ta_real`` (valid audio tokens, static), ``heads`` (static) and

@@ -162,6 +162,11 @@ def main():
 
         return jax.jit(decode_scan, donate_argnums=(5,))
 
+    from desta25_audio_tpu.ops.fused_decode import fused_inject_supported
+    from desta25_audio_tpu.ops.quant import is_quantized
+    assert fused_inject_supported(xp, llm_cfg, TA), "inject kernel gated off"
+    assert is_quantized(lp["layers"]["wq"]), "tower must be int8"
+
     pf = jax.jit(prefill)
     for mode in ("none", "xla", "fused"):
         dec = make_decode(mode)

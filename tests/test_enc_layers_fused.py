@@ -165,3 +165,31 @@ def test_fused_stack_vjp_falls_back_to_xla(monkeypatch):
     # accumulation-order differences vs XLA ~1%), so gradients match at
     # the forward tolerance, not bit-exactly
     assert np.max(np.abs(gr - gn)) / (np.abs(gr).max() + 1e-6) < 3e-2
+
+
+def test_fused_stack_vjp_unsorted_taps(monkeypatch):
+    """Backward tap cotangents pair by target_layer_ids ORDER, not by
+    ascending layer (the kernel writes slot ti at l == taps[ti])."""
+    monkeypatch.setenv("DESTA_FUSED_ENC_LAYERS", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    cfg, stacked, x = _setup(3, 1, 16, seed=4)
+    taps = (2, 0)   # deliberately unsorted
+
+    def loss(xx):
+        _, tp = fused_encoder_layers(stacked, xx, cfg, taps)
+        # weight the two taps very differently so a slot swap changes
+        # the gradient
+        return (jnp.sum(tp[0].astype(jnp.float32) ** 2) * 100.0
+                + jnp.sum(tp[1].astype(jnp.float32) ** 2))
+
+    g = np.asarray(jax.grad(loss)(x), np.float32)
+
+    from desta25_audio_tpu.ops.enc_layers_fused import _xla_stack
+
+    def loss_ref(xx):
+        _, tp = _xla_stack(stacked, xx, cfg.encoder_attention_heads, taps)
+        return (jnp.sum(tp[0].astype(jnp.float32) ** 2) * 100.0
+                + jnp.sum(tp[1].astype(jnp.float32) ** 2))
+
+    gr = np.asarray(jax.grad(loss_ref)(x), np.float32)
+    assert np.max(np.abs(gr - g)) / (np.abs(gr).max() + 1e-6) < 3e-2

@@ -150,3 +150,23 @@ def test_model_merge_lora_for_serving(rng):
     assert is_quantized(m2.params["llm"]["layers"]["wq"])
     out = m2.generate(msgs, max_new_tokens=4, do_sample=False).text[0]
     assert isinstance(out, str)
+
+
+def test_merge_lora_failure_keeps_adapters():
+    """A rejected merge (already-quantized base) must not strip the LoRA
+    adapters from the model."""
+    import jax
+    import pytest
+
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models.desta import DeSTA25AudioModel
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano",
+        encoder_model_id="test/whisper-nano",
+        prompt_size=4, qformer_num_hidden_layers=2,
+        use_lora=True, lora_rank=4, llm_quant="int8", dtype="float32")
+    m = DeSTA25AudioModel(cfg, seed=0)
+    with pytest.raises(ValueError):
+        m.merge_lora_for_serving(quantize=False)
+    assert "lora" in m.params  # adapters survived the failed merge
