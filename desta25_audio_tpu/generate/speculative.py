@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from ..config import LLMConfig
 from ..models import llm as jllm
 from ..models.llm import _head_logits, rms_norm
-from ..ops.fused_decode import fused_supported, fused_verify_layers
+from ..ops.fused_decode import fused_supported
 
 
 def ngram_propose(hist: jnp.ndarray, hlen: jnp.ndarray,
@@ -224,6 +224,17 @@ def llm_generate_spec(
 
     jidx = jnp.arange(Kd)[None, :]
 
+    # verify kernel: single-device fused off-mesh, single-launch TP
+    # kernel on a "model" mesh (ops/fused_decode_mesh.py)
+    from ..ops.fused_decode_mesh import pick_verify_fn
+    verify_fn = pick_verify_fn(
+        params, cfg, cache, Kd,
+        inject_params=fspec["params"] if fspec else None,
+        ta_padded=fspec["k"].shape[2] if fspec else 0)
+    assert verify_fn is not None, \
+        "spec decode requires an eligible fused verify kernel " \
+        "(caller gates via spec_generate_supported)"
+
     def cond(s):
         return ~jnp.all(s["done"])
 
@@ -232,7 +243,7 @@ def llm_generate_spec(
         toks = jnp.concatenate([s["cur"][:, None], draft], axis=1)
         posn = s["pos"][:, None] + jidx
         embeds = params["embed"][toks]
-        hidden, cache = fused_verify_layers(
+        hidden, cache = verify_fn(
             params, cfg, embeds, mask, posn, s["cache"], s["ci"],
             inject=fspec)
         hidden = rms_norm(params["norm"], hidden, cfg.rms_norm_eps)
@@ -307,4 +318,7 @@ def spec_generate_supported(params, cfg, B: int, S: int,
     class _C:
         k = cache.k
 
-    return fused_supported(params, cfg, _C, kd=speculative_k)
+    if fused_supported(params, cfg, _C, kd=speculative_k):
+        return True
+    from ..ops.fused_decode_mesh import fused_mesh_supported
+    return fused_mesh_supported(params, cfg, _C, kd=speculative_k)

@@ -356,13 +356,27 @@ def llm_apply(
             fused_inject_supported,
             fused_supported,
         )
+        from ..ops.fused_decode_mesh import (
+            fused_decode_layers_mesh,
+            fused_mesh_supported,
+        )
         from ..ops.quant import is_quantized
+        inj_fn = None
         if (fused_supported(params, cfg, cache)
                 and is_quantized(params["layers"].get("wq"))
                 and fused_inject_supported(
                     fused_injection["params"], cfg,
                     fused_injection["k"].shape[2])):
-            hidden_pre, new_cache = fused_decode_layers(
+            inj_fn = fused_decode_layers
+        elif fused_mesh_supported(
+                params, cfg, cache,
+                inject_params=fused_injection["params"],
+                ta_padded=fused_injection["k"].shape[2]):
+            # tensor-parallel single-launch kernel with in-kernel ORCA
+            # injection (replicated injection weights, local tower shards)
+            inj_fn = fused_decode_layers_mesh
+        if inj_fn is not None:
+            hidden_pre, new_cache = inj_fn(
                 params, cfg, x, attention_mask, positions, cache,
                 cache_index, inject=fused_injection)
             hidden = rms_norm(params["norm"], hidden_pre, cfg.rms_norm_eps)
@@ -375,12 +389,21 @@ def llm_apply(
     if (cache is not None and T == 1 and lora is None
             and extra_layer_fn is None and not return_hidden):
         from ..ops.fused_decode import fused_decode_layers, fused_supported
+        from ..ops.fused_decode_mesh import (
+            fused_decode_layers_mesh,
+            fused_mesh_supported,
+        )
         from ..ops.fused_decode_tp import (
             fused_decode_layers_tp,
             fused_tp_supported,
         )
         if fused_supported(params, cfg, cache):
             fused_fn = fused_decode_layers
+        elif fused_mesh_supported(params, cfg, cache):
+            # tensor-parallel SINGLE-LAUNCH kernel with in-kernel
+            # all-reduce (ops/fused_decode_mesh.py) — keeps the
+            # cross-layer weight prefetch under TP
+            fused_fn = fused_decode_layers_mesh
         elif fused_tp_supported(params, cfg, cache):
             # tensor-parallel per-layer kernel pair under shard_map
             # (ops/fused_decode_tp.py) — multi-chip decode keeps a fused

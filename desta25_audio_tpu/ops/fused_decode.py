@@ -101,6 +101,15 @@ class _Meta(NamedTuple):
     # towers), False = bf16 (unquantized towers stream 2x the bytes but
     # still beat the per-projection XLA path's pipeline-fill overhead)
     w_int8: bool = True
+    # tensor parallelism: tp > 1 runs this kernel per "model"-axis shard
+    # under shard_map with H / Hkv / I already LOCAL in this meta (D stays
+    # full).  The wo / w_down partial sums are all-reduced IN-KERNEL via
+    # one-shot remote-DMA gathers (ops/fused_decode_mesh.py), so the
+    # single-launch structure — and its cross-layer weight prefetch —
+    # survives TP.  mesh_axes is the full mesh axis order (remote device
+    # ids name every mesh axis; non-"model" axes keep their own index).
+    tp: int = 1
+    mesh_axes: Tuple[str, ...] = ()
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +285,20 @@ def _make_kernel(m: _Meta):
         i += 6
         if m.inj:
             kasem, vasem = refs[i:i + 2]
+            i += 2
+        if m.tp > 1:
+            # pres: this shard's wo / w_down partial [Mp, D] f32;
+            # rbuf[slot, d]: peer d's partial (slot 0 = attn round,
+            # slot 1 = mlp round — the alternation double-buffers the
+            # comm target across layers); ssem/rsem: per-(slot, peer)
+            # send / receive DMA semaphores.
+            pres, rbuf, ssem, rsem = refs[i:i + 4]
+            my = jax.lax.axis_index("model")
+
+            def _coords(model_idx):
+                return tuple(
+                    model_idx if a == "model" else jax.lax.axis_index(a)
+                    for a in m.mesh_axes)
 
         l = pl.program_id(0)
         RING = _W_RING
@@ -319,6 +342,21 @@ def _make_kernel(m: _Meta):
         # (overlaps the q/k/v weight stream).
         @pl.when(l == 0)
         def _():
+            if m.tp > 1:
+                # zero the comm buffer (slot [*, my] is never written —
+                # peers write their own ids — so it must read as 0 in the
+                # static reduction sum), then barrier the model group:
+                # a peer may only send once WE have signaled (i.e. after
+                # our zeroing), and we may only proceed once every peer
+                # has (their first-round data can then land any time).
+                rbuf[:] = jnp.zeros_like(rbuf)
+                bar = pltpu.get_barrier_semaphore()
+                for off in range(1, m.tp):
+                    pltpu.semaphore_signal(
+                        bar, inc=1,
+                        device_id=_coords(jax.lax.rem(my + off, m.tp)),
+                        device_id_type=pltpu.DeviceIdType.MESH)
+                pltpu.semaphore_wait(bar, m.tp - 1)
             for g in range(min(_W_RING - 1, T_w)):
                 start_local(0, g, g, g)
             h[:] = x[:]
@@ -616,8 +654,56 @@ def _make_kernel(m: _Meta):
             attn[:R, kv * G * m.Dh:(kv + 1) * G * m.Dh] = (
                 slab.reshape(R, G * m.Dh).astype(jnp.bfloat16))
 
+        # ---- tensor-parallel partial-sum all-reduce ----------------------
+        # One-shot gather: every shard remote-DMAs its [Mp, D] f32 partial
+        # (pres) into slot [slot, my] of every peer's rbuf, waits the
+        # tp-1 receives, and adds the static-loop sum into the residual.
+        # Latency-optimal for decode-sized payloads (Mp*D f32 ≈ 256 KB at
+        # the 8B flagship — one ICI hop beats a 2(tp-1)-hop ring).  Slot
+        # alternation (attn=0, mlp=1) double-buffers reuse: a peer's
+        # layer-l+1 attn send can only start after it received our
+        # layer-l mlp partial, which we send only after consuming its
+        # layer-l attn data — so slot-0 data is never overwritten before
+        # the reduction reads it (validated under the interpret-mode race
+        # detector, tests/test_fused_mesh.py).
+        if m.tp > 1:
+            def allreduce_into_h(slot):
+                for off in range(1, m.tp):
+                    peer = jax.lax.rem(my + off, m.tp)
+                    pltpu.make_async_remote_copy(
+                        src_ref=pres, dst_ref=rbuf.at[slot, my],
+                        send_sem=ssem.at[slot, off],
+                        recv_sem=rsem.at[slot, my],
+                        device_id=_coords(peer),
+                        device_id_type=pltpu.DeviceIdType.MESH).start()
+                for off in range(1, m.tp):
+                    src = jax.lax.rem(my - off + m.tp, m.tp)
+                    pltpu.make_async_remote_copy(
+                        src_ref=pres, dst_ref=rbuf.at[slot, src],
+                        send_sem=ssem.at[slot, off],
+                        recv_sem=rsem.at[slot, src],
+                        device_id=_coords(my),
+                        device_id_type=pltpu.DeviceIdType.MESH).wait_recv()
+                tot = pres[...]
+                for d in range(m.tp):
+                    tot = tot + rbuf[slot, d]
+                h[:] += tot.astype(jnp.bfloat16)
+                # sends must land before pres is overwritten by the next
+                # projection stage's flush
+                for off in range(1, m.tp):
+                    pltpu.make_async_remote_copy(
+                        src_ref=pres, dst_ref=rbuf.at[slot, my],
+                        send_sem=ssem.at[slot, off],
+                        recv_sem=rsem.at[slot, my],
+                        device_id=_coords(my),
+                        device_id_type=pltpu.DeviceIdType.MESH).wait_send()
+
         # ---- wo + residual, MLP ------------------------------------------
-        run_stage(3, attn, resid(m.tiles[3][1]))
+        if m.tp > 1:
+            run_stage(3, attn, store_to(pres, m.tiles[3][1]))
+            allreduce_into_h(0)
+        else:
+            run_stage(3, attn, resid(m.tiles[3][1]))
         xn[:] = rmsn(h[:], ln2)
         if m.inj:
             # audio K/V stream for the injection phase: start rows 0/1
@@ -633,7 +719,11 @@ def _make_kernel(m: _Meta):
                 ka_dma(va, vabuf, 1, 1, vasem).start()
         run_stage(4, xn, store_to(mid, m.tiles[4][1]))   # up
         run_stage(5, xn, swiglu(m.tiles[5][1]))          # gate
-        run_stage(6, mid, resid(m.tiles[6][1]))          # down
+        if m.tp > 1:
+            run_stage(6, mid, store_to(pres, m.tiles[6][1]))  # down
+            allreduce_into_h(1)
+        else:
+            run_stage(6, mid, resid(m.tiles[6][1]))      # down
 
         # ---- ORCA gated cross-attention (deep injection) -----------------
         # h' = h + on * sigmoid(g2(gelu(g1 h))) * LN(Wo MHA(Wq h, Ka, Va))
@@ -738,7 +828,7 @@ def _make_kernel(m: _Meta):
 
 
 @functools.lru_cache(maxsize=16)
-def _build_call(m: _Meta, interpret: bool):
+def _build_call(m: _Meta, interpret: bool, detect_races: bool = False):
     HDh, KVD = m.H * m.Dh, m.Hkv * m.Dh
     R = m.B * m.Kd
     KH = m.Kd * m.H
@@ -853,6 +943,21 @@ def _build_call(m: _Meta, interpret: bool):
             pltpu.SemaphoreType.DMA((2,)),        # kasem
             pltpu.SemaphoreType.DMA((2,)),        # vasem
         ]
+    if m.tp > 1:
+        scratch += [
+            pltpu.VMEM((m.Mp, m.D), f32),             # pres (local partial)
+            pltpu.VMEM((2, m.tp, m.Mp, m.D), f32),    # rbuf (peer partials)
+            pltpu.SemaphoreType.DMA((2, m.tp)),       # ssem
+            pltpu.SemaphoreType.DMA((2, m.tp)),       # rsem
+        ]
+    cparams = dict(dimension_semantics=("arbitrary",),
+                   vmem_limit_bytes=100 * 1024 * 1024)
+    if m.tp > 1:
+        # remote DMAs into peers are invisible side effects; collective_id
+        # binds the model group's barrier semaphore
+        cparams.update(collective_id=0, has_side_effects=True)
+    interp = (pltpu.InterpretParams(detect_races=detect_races)
+              if interpret else False)
     return pl.pallas_call(
         _make_kernel(m),
         grid=(m.L,),
@@ -861,10 +966,8 @@ def _build_call(m: _Meta, interpret: bool):
         out_specs=out_specs,
         scratch_shapes=scratch,
         input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=pltpu.CompilerParams(**cparams),
+        interpret=interp,
     )
 
 
@@ -874,7 +977,8 @@ def _build_call(m: _Meta, interpret: bool):
 
 
 def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
-               cache, cache_index, inject=None):
+               cache, cache_index, inject=None, tp: int = 1,
+               mesh_axes: Tuple[str, ...] = ()):
     """Shared driver for the fused decode (Kd=1) / verify (Kd>1) step.
 
     inputs_embeds [B, Kd, D]; positions [B, Kd]; cache_index scalar or
@@ -932,8 +1036,12 @@ def _run_fused(params, cfg, inputs_embeds, attention_mask, positions,
                            cfg.intermediate_size, inj_dg=Dg,
                            elem_bytes=1 if w_int8 else 2),
         inj=inj, Ta=Ta, Ta_real=int(inject["ta_real"]) if inj else 0,
-        Dg=Dg, Hi=int(inject["heads"]) if inj else 0, w_int8=w_int8)
-    call = _build_call(meta, _interpret_mode())
+        Dg=Dg, Hi=int(inject["heads"]) if inj else 0, w_int8=w_int8,
+        tp=tp, mesh_axes=tuple(mesh_axes))
+    call = _build_call(
+        meta, _interpret_mode(),
+        detect_races=(tp > 1 and os.environ.get(
+            "DESTA_FUSED_DETECT_RACES", "0") == "1"))
 
     args = [xp, layers["ln1"]["scale"][:, None, :],
             layers["ln2"]["scale"][:, None, :]]

@@ -221,10 +221,16 @@ class ContinuousBatchingEngine:
             # ORCA slots can speculate too: the verify kernel runs the
             # gated cross-attention in-kernel for all Kd draft positions
             # (requires an int8-quantized cross-attn stack)
+            from ..ops.fused_decode_mesh import fused_mesh_supported
             from ..ops.quant import is_quantized
             ok = (model.params.get("lora") is None
-                  and fused_supported(model.params["llm"], self.cfg,
-                                      self.cache, kd=speculative_k)
+                  and (fused_supported(model.params["llm"], self.cfg,
+                                       self.cache, kd=speculative_k)
+                       # TP serving speculates through the single-launch
+                       # mesh kernel (ops/fused_decode_mesh.py)
+                       or fused_mesh_supported(
+                           model.params["llm"], self.cfg, self.cache,
+                           kd=speculative_k))
                   and (self._inject_len == 0
                        or (fused_inject_supported(
                                self._inject_params, self.cfg,
@@ -238,7 +244,7 @@ class ContinuousBatchingEngine:
                 logger.warning(
                     "speculative_k=%d requested but the fused verify "
                     "kernel is unsupported here (needs int8 weights, "
-                    "bf16 cache, no LoRA/mesh; ORCA additionally needs "
+                    "bf16 cache, no LoRA; ORCA additionally needs "
                     "an int8 cross-attn stack); serving falls back to "
                     "plain decode ticks", speculative_k)
         self.pipeline_ticks = bool(pipeline_ticks)
@@ -404,7 +410,6 @@ class ContinuousBatchingEngine:
         cache, hist, hlen)."""
         from ..generate.speculative import ngram_propose
         from ..models.llm import _head_logits, rms_norm
-        from ..ops.fused_decode import fused_verify_layers
         fspec = None
         if self._inject_len:
             # in-kernel ORCA injection during verify (eligibility —
@@ -430,13 +435,22 @@ class ContinuousBatchingEngine:
                 return jnp.zeros(t.shape, bool)
             return jnp.any(t[..., None] == eos, axis=-1)
 
+        from ..ops.fused_decode_mesh import pick_verify_fn
+        verify_fn = pick_verify_fn(
+            params, cfg, cache, Kd,
+            inject_params=fspec["params"] if fspec else None,
+            ta_padded=fspec["k"].shape[2] if fspec else 0)
+        assert verify_fn is not None, \
+            "spec ticks require an eligible fused verify kernel " \
+            "(checked at engine init)"
+
         def body(carry, step):
             cur, cache, ci, pos, hist, hlen, done = carry
             draft = ngram_propose(hist, hlen, Kd - 1)
             toks_k = jnp.concatenate([cur[:, None], draft], axis=1)
             posn = pos[:, None] + jidx
             embeds = params["embed"][toks_k]
-            hidden, cache = fused_verify_layers(
+            hidden, cache = verify_fn(
                 params, cfg, embeds, full_mask, posn, cache, ci,
                 inject=fspec)
             hidden = rms_norm(params["norm"], hidden, cfg.rms_norm_eps)

@@ -29,9 +29,24 @@ if os.environ.get("DESTA_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache — XLA CPU compiles of scanned towers dominate
-# test wall-clock otherwise.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# test wall-clock otherwise.  CPU entries are AOT-compiled for the build
+# host's exact CPU features and the cache key does NOT include them: loading
+# another host's entry warns "could lead to execution errors such as SIGILL"
+# and can silently miscompute.  Key the CPU cache dir by the host's feature
+# set so a driver host swap starts a fresh cache (TPU entries keep the flat
+# .jax_cache used by bench.py).
+_cache_root = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+if os.environ.get("DESTA_TEST_TPU") != "1":
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            _flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        _flags = ""
+    _cache_root = os.path.join(
+        _cache_root, "cpu-" + hashlib.sha1(_flags.encode()).hexdigest()[:12])
+jax.config.update("jax_compilation_cache_dir", _cache_root)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
