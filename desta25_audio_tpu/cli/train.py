@@ -147,6 +147,8 @@ def build_from_config(cfg: Dict[str, Any]):
         eval_max_new_tokens=cfg.get("model", {}).get(
             "generation_kwargs", {}).get("max_new_tokens", 16),
         remat=bool(trainer_cfg.get("gradient_checkpointing", False)),
+        pipeline_microbatches=int(
+            trainer_cfg.get("pipeline_microbatches", 0) or 0),
         seed=cfg.get("seed", 0),
         # reference default: TrainingArguments(auto_find_batch_size=True)
         auto_find_batch_size=bool(

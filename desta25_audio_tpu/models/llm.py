@@ -286,6 +286,7 @@ def llm_apply(
     remat: bool = False,
     skip_head: bool = False,
     w8a8: bool = True,
+    pipeline_microbatches: Optional[int] = None,
 ):
     """Forward pass.
 
@@ -442,6 +443,24 @@ def llm_apply(
             return logits, new_cache, None
 
     cos, sin = llm_rope_cos_sin(cfg, positions)
+
+    # Pipeline-parallel layer stack (GPipe fill-drain over the "pipe"
+    # mesh axis, parallel/pipeline.py) — training forward only: no
+    # cache / LoRA / per-layer hooks.
+    if (cache is None and pipeline_microbatches and lora is None
+            and extra_layer_fn is None and extra_aux_init is None):
+        from ..parallel.pipeline import (
+            pipeline_decoder_hidden,
+            pipeline_enabled,
+        )
+        if pipeline_enabled():
+            x = pipeline_decoder_hidden(
+                params["layers"], cfg, x, mask, flash_mask, cos, sin,
+                n_micro=pipeline_microbatches, remat=remat, w8a8=w8a8)
+            hidden = rms_norm(params["norm"], x, cfg.rms_norm_eps)
+            logits = (None if skip_head
+                      else _head_logits(params, cfg, hidden, w8a8))
+            return logits, None, (hidden if return_hidden else None)
 
     n_layers = cfg.num_hidden_layers
     layer_ids = jnp.arange(n_layers)

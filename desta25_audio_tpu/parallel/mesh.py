@@ -26,12 +26,20 @@ _state = threading.local()
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None,
+              n_pipe: int = 1) -> Mesh:
+    """("data", "model") mesh, with an optional trailing "pipe" axis for
+    pipeline parallelism (parallel/pipeline.py) when ``n_pipe > 1``.
+    "pipe" is the innermost axis so pipeline-neighbour transfers ride
+    adjacent ICI links."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (
-        f"mesh {n_data}x{n_model} != {len(devices)} devices")
+        n_data = len(devices) // (n_model * n_pipe)
+    assert n_data * n_model * n_pipe == len(devices), (
+        f"mesh {n_data}x{n_model}x{n_pipe} != {len(devices)} devices")
+    if n_pipe > 1:
+        arr = np.asarray(devices).reshape(n_data, n_model, n_pipe)
+        return Mesh(arr, ("data", "model", "pipe"))
     arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
 

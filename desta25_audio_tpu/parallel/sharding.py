@@ -15,6 +15,8 @@ Activation constraints are applied inside model code through
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -24,10 +26,27 @@ from .mesh import current_mesh
 
 Params = Dict[str, Any]
 
+_suspend = threading.local()
+
+
+@contextlib.contextmanager
+def suspend_activation_sharding():
+    """Trace-time no-op switch for :func:`shard_activation`.  Needed
+    inside partially-manual shard_map bodies (parallel/pipeline.py):
+    ``with_sharding_constraint`` rejects NamedShardings over a mesh whose
+    manual axes it does not mention; tensor-parallel layouts inside such
+    bodies propagate from the parameter shardings instead."""
+    prev = getattr(_suspend, "on", False)
+    _suspend.on = True
+    try:
+        yield
+    finally:
+        _suspend.on = prev
+
 
 def shard_activation(x, spec: Tuple[Optional[str], ...]):
     mesh = current_mesh()
-    if mesh is None:
+    if mesh is None or getattr(_suspend, "on", False):
         return x
     spec = spec[:x.ndim]
     # Drop axis names not present in the mesh (e.g. "model" on a 1-D mesh).
@@ -125,7 +144,16 @@ def _tree_specs(tree, rules) -> Params:
 
 
 def llm_partition_specs(params) -> Params:
-    return _tree_specs(params, _LLM_RULES)
+    specs = _tree_specs(params, _LLM_RULES)
+    mesh = current_mesh()
+    if mesh is not None and "pipe" in mesh.axis_names \
+            and mesh.shape["pipe"] > 1:
+        # pipeline parallelism: the stacked layer axis [L, ...] shards
+        # into contiguous stages (parallel/pipeline.py)
+        from .pipeline import pipe_layer_specs
+        layer_specs = pipe_layer_specs(specs["layers"])
+        specs = dict(specs, layers=layer_specs)
+    return specs
 
 
 def whisper_partition_specs(params) -> Params:

@@ -38,7 +38,9 @@ from .losses import (
 
 def _forward(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
              config: DeSTA25Config, remat: bool,
-             training: bool) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+             training: bool,
+             pipeline_microbatches: int = 0,
+             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Shared forward: returns (total_loss, metrics)."""
     llm_cfg = config.llm_config
     input_ids = batch["input_ids"]
@@ -102,6 +104,10 @@ def _forward(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
         remat=remat,
         return_hidden=True,
         skip_head=True,
+        # GPipe pipeline parallelism over a "pipe" mesh axis (no-op
+        # off-mesh; silently skipped under LoRA/ORCA deep injection —
+        # those paths keep the single-stage scan)
+        pipeline_microbatches=pipeline_microbatches,
         # training keeps the weight-only bf16-dequant forward: W8A8
         # act-quant noise in the frozen tower would perturb the
         # connector's learning signal with no training-speed upside
@@ -163,7 +169,8 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 def make_train_step(config: DeSTA25Config,
                     optimizer: optax.GradientTransformation,
-                    remat: bool = False):
+                    remat: bool = False,
+                    pipeline_microbatches: int = 0):
     """Returns jitted ``step(trainable, frozen, opt_state, batch) ->
     (trainable, opt_state, metrics)``."""
 
@@ -171,7 +178,8 @@ def make_train_step(config: DeSTA25Config,
     def train_step(trainable, frozen, opt_state, batch):
         def loss_fn(tr):
             params = {**frozen, **tr}
-            return _forward(params, batch, config, remat, training=True)
+            return _forward(params, batch, config, remat, training=True,
+                            pipeline_microbatches=pipeline_microbatches)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable)
@@ -184,12 +192,14 @@ def make_train_step(config: DeSTA25Config,
     return train_step
 
 
-def make_eval_step(config: DeSTA25Config, remat: bool = False):
+def make_eval_step(config: DeSTA25Config, remat: bool = False,
+                   pipeline_microbatches: int = 0):
     """Returns jitted ``eval_step(params, batch) -> metrics`` (loss/ppl)."""
 
     @jax.jit
     def eval_step(params, batch):
-        _, metrics = _forward(params, batch, config, remat, training=False)
+        _, metrics = _forward(params, batch, config, remat, training=False,
+                              pipeline_microbatches=pipeline_microbatches)
         return metrics
 
     return eval_step

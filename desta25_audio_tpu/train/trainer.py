@@ -50,6 +50,9 @@ class TrainerConfig:
     save_strategy: str = "epoch"
     keep_checkpoints: int = 3
     remat: bool = False
+    # GPipe pipeline parallelism: microbatch count when the active mesh
+    # has a "pipe" axis (parallel/pipeline.py); 0 = off
+    pipeline_microbatches: int = 0
     eval_before_train: bool = True
     eval_max_batches: int = -1
     num_workers: int = 0  # >0 enables the prefetching thread-pool loader
@@ -123,9 +126,11 @@ class DeSTA25Trainer:
 
         self.optimizer = make_optimizer(optimizer_config)
         self.train_step = make_train_step(self.config, self.optimizer,
-                                          remat=trainer_config.remat)
+                                          remat=trainer_config.remat,
+                                          pipeline_microbatches=trainer_config.pipeline_microbatches)
         self.eval_step = make_eval_step(self.config,
-                                        remat=trainer_config.remat)
+                                        remat=trainer_config.remat,
+                                        pipeline_microbatches=trainer_config.pipeline_microbatches)
         self.global_step = 0
 
     # -- helpers ----------------------------------------------------------
