@@ -149,6 +149,8 @@ def build_from_config(cfg: Dict[str, Any]):
         remat=bool(trainer_cfg.get("gradient_checkpointing", False)),
         pipeline_microbatches=int(
             trainer_cfg.get("pipeline_microbatches", 0) or 0),
+        sequence_parallel=bool(
+            trainer_cfg.get("sequence_parallel", False)),
         seed=cfg.get("seed", 0),
         # reference default: TrainingArguments(auto_find_batch_size=True)
         auto_find_batch_size=bool(

@@ -287,6 +287,7 @@ def llm_apply(
     skip_head: bool = False,
     w8a8: bool = True,
     pipeline_microbatches: Optional[int] = None,
+    sequence_parallel: bool = False,
 ):
     """Forward pass.
 
@@ -306,6 +307,15 @@ def llm_apply(
     first-class here, not monkey-patched; cf. modeling_desta25.py:1052-1143).
     return_hidden: also return final hidden states (pre-logits) and, when
     True, per-layer hidden states are NOT stashed (cheap).
+    sequence_parallel: Megatron-style sequence parallelism for the
+    cache-less (training/prefill) scan path: the residual stream is
+    constrained to ("data", "model") over (batch, seq) at every layer
+    boundary, so the norms/residual adds/connector activations live
+    seq-sharded and GSPMD turns the wo/w_down all-reduce into a
+    reduce-scatter + all-gather pair around each block.  Cuts the
+    per-device residual-stream activation memory by the "model" axis
+    size.  No-op off-mesh, under a cache (decode), or inside the GPipe
+    pipeline body (activation constraints are suspended there).
 
     Returns (logits [B, T, V] float32, new_cache, hidden or None); with
     ``extra_aux_init`` a 4th element carries the final aux value.
@@ -316,7 +326,8 @@ def llm_apply(
         inputs_embeds = params["embed"][input_ids]
     x = inputs_embeds
     B, T, D = x.shape
-    x = shard_activation(x, ("data", None, None))
+    seq_par = bool(sequence_parallel) and cache is None
+    x = shard_activation(x, ("data", "model" if seq_par else None, None))
 
     if cache is not None:
         Tmax = cache.k.shape[2]
@@ -490,6 +501,9 @@ def llm_apply(
                 h, aux = extra_layer_fn(idx, h, aux)
             else:
                 h = extra_layer_fn(idx, h)
+        if seq_par:
+            # residual stream seq-sharded between blocks (Megatron SP)
+            h = shard_activation(h, ("data", "model", None))
         carry = (h, aux) if extra_aux_init is not None else h
         return carry, new_lc
 

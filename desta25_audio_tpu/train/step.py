@@ -40,6 +40,7 @@ def _forward(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
              config: DeSTA25Config, remat: bool,
              training: bool,
              pipeline_microbatches: int = 0,
+             sequence_parallel: bool = False,
              ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Shared forward: returns (total_loss, metrics)."""
     llm_cfg = config.llm_config
@@ -108,6 +109,9 @@ def _forward(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
         # off-mesh; silently skipped under LoRA/ORCA deep injection —
         # those paths keep the single-stage scan)
         pipeline_microbatches=pipeline_microbatches,
+        # Megatron-style sequence parallelism (seq-sharded residual
+        # stream over "model"; no-op off-mesh)
+        sequence_parallel=sequence_parallel,
         # training keeps the weight-only bf16-dequant forward: W8A8
         # act-quant noise in the frozen tower would perturb the
         # connector's learning signal with no training-speed upside
@@ -170,7 +174,8 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def make_train_step(config: DeSTA25Config,
                     optimizer: optax.GradientTransformation,
                     remat: bool = False,
-                    pipeline_microbatches: int = 0):
+                    pipeline_microbatches: int = 0,
+                    sequence_parallel: bool = False):
     """Returns jitted ``step(trainable, frozen, opt_state, batch) ->
     (trainable, opt_state, metrics)``."""
 
@@ -179,7 +184,8 @@ def make_train_step(config: DeSTA25Config,
         def loss_fn(tr):
             params = {**frozen, **tr}
             return _forward(params, batch, config, remat, training=True,
-                            pipeline_microbatches=pipeline_microbatches)
+                            pipeline_microbatches=pipeline_microbatches,
+                            sequence_parallel=sequence_parallel)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable)
@@ -193,13 +199,15 @@ def make_train_step(config: DeSTA25Config,
 
 
 def make_eval_step(config: DeSTA25Config, remat: bool = False,
-                   pipeline_microbatches: int = 0):
+                   pipeline_microbatches: int = 0,
+                   sequence_parallel: bool = False):
     """Returns jitted ``eval_step(params, batch) -> metrics`` (loss/ppl)."""
 
     @jax.jit
     def eval_step(params, batch):
         _, metrics = _forward(params, batch, config, remat, training=False,
-                              pipeline_microbatches=pipeline_microbatches)
+                              pipeline_microbatches=pipeline_microbatches,
+                              sequence_parallel=sequence_parallel)
         return metrics
 
     return eval_step

@@ -53,6 +53,9 @@ class TrainerConfig:
     # GPipe pipeline parallelism: microbatch count when the active mesh
     # has a "pipe" axis (parallel/pipeline.py); 0 = off
     pipeline_microbatches: int = 0
+    # Megatron-style sequence parallelism: residual stream seq-sharded
+    # over the "model" mesh axis between decoder blocks (no-op off-mesh)
+    sequence_parallel: bool = False
     eval_before_train: bool = True
     eval_max_batches: int = -1
     num_workers: int = 0  # >0 enables the prefetching thread-pool loader
@@ -125,12 +128,16 @@ class DeSTA25Trainer:
         self.accuracy = ConsecutiveWordsAccuracyMetric()
 
         self.optimizer = make_optimizer(optimizer_config)
-        self.train_step = make_train_step(self.config, self.optimizer,
-                                          remat=trainer_config.remat,
-                                          pipeline_microbatches=trainer_config.pipeline_microbatches)
-        self.eval_step = make_eval_step(self.config,
-                                        remat=trainer_config.remat,
-                                        pipeline_microbatches=trainer_config.pipeline_microbatches)
+        self.train_step = make_train_step(
+            self.config, self.optimizer,
+            remat=trainer_config.remat,
+            pipeline_microbatches=trainer_config.pipeline_microbatches,
+            sequence_parallel=trainer_config.sequence_parallel)
+        self.eval_step = make_eval_step(
+            self.config,
+            remat=trainer_config.remat,
+            pipeline_microbatches=trainer_config.pipeline_microbatches,
+            sequence_parallel=trainer_config.sequence_parallel)
         self.global_step = 0
 
     # -- helpers ----------------------------------------------------------

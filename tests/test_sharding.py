@@ -122,3 +122,102 @@ def test_dp_tp_train_step(rng, tmp_path):
     # trainable params stay replicated (no accidental sharding drift)
     leaf = jax.tree.leaves(new_trainable)[0]
     assert leaf.sharding.is_fully_replicated
+
+def test_sequence_parallel_forward_matches_unsharded(rng):
+    """sequence_parallel=True: same logits, residual stream actually
+    seq-sharded over the "model" axis (Megatron SP semantics)."""
+    cfg = llm_config_for("test/llama-dryrun")
+    params = jllm.init_llm(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = rng.integers(0, cfg.vocab_size, size=(4, 16)).astype(np.int32)
+    ref, _, ref_hidden = jllm.llm_apply(params, cfg,
+                                        input_ids=jnp.asarray(ids),
+                                        return_hidden=True)
+    ref, ref_hidden = np.asarray(ref), np.asarray(ref_hidden)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    with use_mesh(mesh):
+        sharded = apply_sharding(params, llm_partition_specs(params))
+        dids = jax.device_put(jnp.asarray(ids),
+                              NamedSharding(mesh, P("data", None)))
+
+        @jax.jit
+        def fwd(p, x):
+            logits, _, hidden = jllm.llm_apply(
+                p, cfg, input_ids=x, return_hidden=True,
+                sequence_parallel=True)
+            return logits, hidden
+
+        logits, hidden = fwd(sharded, dids)
+        got, got_hidden = np.asarray(logits), np.asarray(hidden)
+    assert np.max(np.abs(got - ref)) < 1e-3
+    assert np.max(np.abs(got_hidden - ref_hidden)) < 1e-3
+
+
+def test_sequence_parallel_train_step_matches(rng):
+    """Train-step loss with sequence_parallel=True equals the plain
+    dp+tp loss on the same batch (fresh params both times)."""
+    from desta25_audio_tpu import DeSTA25AudioModel
+    from desta25_audio_tpu.parallel.sharding import (
+        replicated_specs,
+        whisper_partition_specs,
+    )
+    from desta25_audio_tpu.train.optimizer import (
+        OptimizerConfig,
+        make_optimizer,
+    )
+    from desta25_audio_tpu.train.step import make_train_step
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-dryrun",
+        encoder_model_id="test/whisper-dryrun",
+        connector_mode="qformer_1", qformer_num_hidden_layers=2,
+        prompt_size=8, dtype="float32")
+    mesh = make_mesh(n_data=2, n_model=4)
+
+    B, L, N, S = 4, 64, 4, 16000
+    ids = rng.integers(0, 500, size=(B, L)).astype(np.int32)
+    labels = ids.copy()
+    labels[:, :L // 2] = -100
+    kind = np.zeros((B, L), np.int32)
+    kind[:, 4:4 + cfg.prompt_size] = 1
+    pos = np.zeros((B, L), np.int32)
+    pos[:, 4:4 + cfg.prompt_size] = np.arange(cfg.prompt_size)
+    batch_np = {
+        "input_ids": ids,
+        "attention_mask": np.ones((B, L), np.int32),
+        "labels": labels,
+        "audio": rng.standard_normal((N, S)).astype(np.float32) * 0.1,
+        "trans_ids": np.zeros((N, 8), np.int32),
+        "trans_mask": np.zeros((N, 8), np.int32),
+        "kind": kind, "aidx": np.zeros((B, L), np.int32), "pos": pos,
+    }
+
+    losses = {}
+    for sp in (False, True):
+        model = DeSTA25AudioModel(cfg, seed=0)
+        with use_mesh(mesh):
+            trainable, frozen = model.split_params()
+            frozen = {
+                "llm": apply_sharding(frozen["llm"],
+                                      llm_partition_specs(frozen["llm"])),
+                "whisper": apply_sharding(
+                    frozen["whisper"],
+                    whisper_partition_specs(frozen["whisper"])),
+            }
+            trainable = apply_sharding(trainable,
+                                       replicated_specs(trainable))
+            optimizer = make_optimizer(OptimizerConfig(
+                lr=1e-3, warmup_steps=1, total_steps=10))
+            opt_state = optimizer.init(trainable)
+            step = make_train_step(cfg, optimizer, sequence_parallel=sp)
+            dbatch = {
+                k: jax.device_put(
+                    jnp.asarray(v),
+                    NamedSharding(mesh,
+                                  P("data", *([None] * (v.ndim - 1)))))
+                for k, v in batch_np.items()
+            }
+            _, _, metrics = step(trainable, frozen, opt_state, dbatch)
+            losses[sp] = float(metrics["lm_loss"])
+    assert np.isfinite(losses[True])
+    assert abs(losses[True] - losses[False]) < 1e-3, losses
