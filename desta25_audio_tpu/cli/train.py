@@ -151,6 +151,10 @@ def build_from_config(cfg: Dict[str, Any]):
             trainer_cfg.get("pipeline_microbatches", 0) or 0),
         sequence_parallel=bool(
             trainer_cfg.get("sequence_parallel", False)),
+        mesh=str(trainer_cfg.get("mesh", "off")),
+        mesh_model=int(trainer_cfg.get("mesh_model", 1)),
+        mesh_pipe=int(trainer_cfg.get("mesh_pipe", 1)),
+        fsdp=bool(trainer_cfg.get("fsdp", False)),
         seed=cfg.get("seed", 0),
         # reference default: TrainingArguments(auto_find_batch_size=True)
         auto_find_batch_size=bool(

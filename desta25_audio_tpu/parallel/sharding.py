@@ -164,6 +164,41 @@ def replicated_specs(params) -> Params:
     return jax.tree.map(lambda _: P(), params)
 
 
+def fsdp_partition_specs(params, axis: str = "data",
+                         min_size: int = 8192) -> Params:
+    """ZeRO-3-style specs for TRAINABLE params: each large leaf sharded
+    over ``axis`` on its largest divisible dim; small or indivisible
+    leaves stay replicated.
+
+    With these specs on the trainable tree, GSPMD all-gathers each param
+    at its point of use in the forward and reduce-scatters its gradient
+    in the backward — params and grads shrink by the "data" axis size
+    per chip (adafactor's factored stats are tiny; for optimizers with
+    full moments, jit keeps update math on the sharded layout).  This is
+    what lets the
+    8B+ORCA flagship (9.1 GB xattn params + grads, docs/perf_roofline.md
+    §4) fit a v5e pod slice.  The reference is DDP-only (SURVEY §2.7:
+    every GPU holds full params + optimizer state)."""
+    mesh = current_mesh()
+    if (mesh is None or axis not in mesh.axis_names
+            or mesh.shape[axis] <= 1):
+        return replicated_specs(params)
+    n = mesh.shape[axis]
+
+    def spec(x):
+        if not hasattr(x, "shape") or x.size < min_size:
+            return P()
+        cand = [(d, i) for i, d in enumerate(x.shape) if d % n == 0]
+        if not cand:
+            return P()
+        _, dim = max(cand)
+        out = [None] * x.ndim
+        out[dim] = axis
+        return P(*out)
+
+    return jax.tree.map(spec, params)
+
+
 def apply_sharding(params, specs):
     """Device-put a param tree according to a spec tree (requires an active
     mesh; no-op without one)."""

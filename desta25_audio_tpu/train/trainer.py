@@ -32,6 +32,14 @@ from ..data.dataset import AudioTextDataset, CollateFn, data_loader
 from ..eval.metrics import ConsecutiveWordsAccuracyMetric
 from ..generate.decode import llm_generate
 from ..models.desta import DeSTA25AudioModel
+from ..parallel.mesh import current_mesh, make_mesh, use_mesh
+from ..parallel.sharding import (
+    apply_sharding,
+    fsdp_partition_specs,
+    llm_partition_specs,
+    replicated_specs,
+    whisper_partition_specs,
+)
 from .optimizer import OptimizerConfig, make_optimizer
 from .step import make_eval_step, make_train_step
 
@@ -56,6 +64,18 @@ class TrainerConfig:
     # Megatron-style sequence parallelism: residual stream seq-sharded
     # over the "model" mesh axis between decoder blocks (no-op off-mesh)
     sequence_parallel: bool = False
+    # Device mesh: "off" (default) = single-program placement, the caller
+    # may still install a mesh around train(); "auto" = build a
+    # (data, model[, pipe]) mesh over all visible devices when more than
+    # one is present or any parallel feature below is requested; "on" =
+    # always build one.  The trainer then shards the frozen towers
+    # (tensor-parallel over "model" when mesh_model > 1), the batch over
+    # "data", and — with fsdp — the trainable params + optimizer state
+    # over "data" (ZeRO-3).
+    mesh: str = "off"
+    mesh_model: int = 1   # tensor-parallel size ("model" axis)
+    mesh_pipe: int = 1    # pipeline stages ("pipe" axis, GPipe)
+    fsdp: bool = False    # shard trainable params + opt state over "data"
     eval_before_train: bool = True
     eval_max_batches: int = -1
     num_workers: int = 0  # >0 enables the prefetching thread-pool loader
@@ -127,6 +147,26 @@ class DeSTA25Trainer:
         self.metrics = logger_ or MetricsLogger(trainer_config.exp_dir)
         self.accuracy = ConsecutiveWordsAccuracyMetric()
 
+        # Device mesh (opt-in; see TrainerConfig.mesh).  Built here so the
+        # jitted steps below trace with the mesh semantics in place.
+        tc = trainer_config
+        want_mesh = (tc.mesh == "on" or tc.mesh_model > 1
+                     or tc.mesh_pipe > 1 or tc.fsdp
+                     or (tc.mesh == "auto" and len(jax.devices()) > 1))
+        if tc.mesh not in ("off", "auto", "on"):
+            raise ValueError(f"trainer.mesh={tc.mesh!r} "
+                             "(expected 'off', 'auto', or 'on')")
+        self.mesh = (make_mesh(n_model=tc.mesh_model, n_pipe=tc.mesh_pipe)
+                     if tc.mesh != "off" and want_mesh else None)
+        if self.mesh is not None:
+            bs = collate_fn.data_cfg.batch_size
+            n_data = self.mesh.shape["data"]
+            if bs % n_data:
+                raise ValueError(
+                    f"batch_size={bs} not divisible by the mesh's data "
+                    f"axis ({n_data}); pick a divisible batch size or a "
+                    f"larger mesh_model/mesh_pipe")
+
         self.optimizer = make_optimizer(optimizer_config)
         self.train_step = make_train_step(
             self.config, self.optimizer,
@@ -142,10 +182,55 @@ class DeSTA25Trainer:
 
     # -- helpers ----------------------------------------------------------
 
-    @staticmethod
-    def _device_batch(batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
-        return {k: jnp.asarray(v) for k, v in batch.items()
-                if isinstance(v, np.ndarray)}
+    def _mesh_ctx(self):
+        """Install the trainer-owned mesh (no-op when mesh="off", so a
+        caller-installed ``use_mesh`` context stays in charge)."""
+        if self.mesh is None:
+            import contextlib
+            return contextlib.nullcontext(current_mesh())
+        return use_mesh(self.mesh)
+
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        out = {k: jnp.asarray(v) for k, v in batch.items()
+               if isinstance(v, np.ndarray)}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_data = self.mesh.shape["data"]
+            # leading-dim "data" sharding where divisible (input_ids etc.
+            # are [B, ...]; audio/trans are [N_clips, ...] — N tracks B
+            # through the collate but replicate defensively when it
+            # doesn't divide), everything else replicated
+            out = {
+                k: jax.device_put(v, NamedSharding(
+                    self.mesh,
+                    P("data", *([None] * (v.ndim - 1)))
+                    if v.ndim >= 1 and v.shape[0] % n_data == 0 else P()))
+                for k, v in out.items()
+            }
+        return out
+
+    def _shard_state(self, trainable, frozen):
+        """Apply parameter shardings for the trainer-owned mesh: frozen
+        towers tensor-parallel over "model", trainable replicated (or
+        ZeRO-3 "data"-sharded with fsdp)."""
+        if self.mesh is None:
+            return trainable, frozen
+        with use_mesh(self.mesh):
+            frozen = dict(frozen)
+            for key, spec_fn in (("llm", llm_partition_specs),
+                                 ("whisper", whisper_partition_specs)):
+                if key in frozen:
+                    frozen[key] = apply_sharding(frozen[key],
+                                                 spec_fn(frozen[key]))
+            for key in frozen:
+                if key not in ("llm", "whisper"):
+                    frozen[key] = apply_sharding(
+                        frozen[key], replicated_specs(frozen[key]))
+            trainable = apply_sharding(
+                trainable,
+                fsdp_partition_specs(trainable) if self.tcfg.fsdp
+                else replicated_specs(trainable))
+        return trainable, frozen
 
     def _steps_per_epoch(self) -> int:
         return max(len(self.train_dataset)
@@ -154,12 +239,21 @@ class DeSTA25Trainer:
     # -- train ------------------------------------------------------------
 
     def train(self, resume_from_checkpoint: Optional[str] = None):
+        with self._mesh_ctx():
+            return self._train_impl(resume_from_checkpoint)
+
+    def _train_impl(self, resume_from_checkpoint: Optional[str] = None):
         trainable, frozen = self.model.split_params()
+        trainable, frozen = self._shard_state(trainable, frozen)
+        # init AFTER sharding so state derived from params starts on the
+        # right devices (adafactor's factored stats are tiny; the fsdp
+        # memory win is params + grads, preserved by the jitted step)
         opt_state = self.optimizer.init(trainable)
         start_epoch = 0
         if resume_from_checkpoint:
             trainable, opt_state, self.global_step = restore_train_state(
                 resume_from_checkpoint, trainable, opt_state)
+            trainable, frozen = self._shard_state(trainable, frozen)
             start_epoch = self.global_step // self._steps_per_epoch()
             logger.info("resumed from step %d (epoch %d)",
                         self.global_step, start_epoch)
@@ -272,6 +366,10 @@ class DeSTA25Trainer:
     def evaluate(self, tag: str = "val") -> Dict[str, float]:
         """Loss/ppl + generation eval with per-category accuracy report
         (desta_trainer.py:104-251)."""
+        with self._mesh_ctx():
+            return self._evaluate_impl(tag)
+
+    def _evaluate_impl(self, tag: str = "val") -> Dict[str, float]:
         assert self.eval_dataset is not None
         tk = self.model.tokenizer
         losses: List[float] = []

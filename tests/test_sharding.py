@@ -221,3 +221,100 @@ def test_sequence_parallel_train_step_matches(rng):
             losses[sp] = float(metrics["lm_loss"])
     assert np.isfinite(losses[True])
     assert abs(losses[True] - losses[False]) < 1e-3, losses
+
+
+def test_orca_fsdp_train_step(rng):
+    """ORCA hybrid with deep injection trains under dp+tp with ZeRO-3
+    fsdp-sharded trainables — the fit strategy docs/perf_roofline.md §4
+    prescribes for the 8B ORCA flagship (9.1 GB xattn params + grads
+    cannot replicate per chip).  Loss must match the unsharded step."""
+    from desta25_audio_tpu import DeSTA25AudioModel
+    from desta25_audio_tpu.parallel.sharding import (
+        fsdp_partition_specs,
+        whisper_partition_specs,
+    )
+    from desta25_audio_tpu.train.optimizer import (
+        OptimizerConfig,
+        make_optimizer,
+    )
+    from desta25_audio_tpu.train.step import make_train_step
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-dryrun",
+        encoder_model_id="test/whisper-dryrun",
+        connector_mode="orca_hybrid",
+        orca_global_num_tokens=4,
+        orca_local_downsample=4,
+        orca_local_kernel_size=5,
+        dtype="float32")
+
+    B, L, K = 4, 48, cfg.orca_global_num_tokens
+    ids = rng.integers(0, 500, size=(B, L)).astype(np.int32)
+    labels = ids.copy()
+    labels[:, :L // 2] = -100
+    kind = np.zeros((B, L), np.int32)
+    kind[:, 2:2 + K] = 1
+    kind[:, 2 + K:2 + K + 3] = 2
+    aidx = np.zeros((B, L), np.int32)
+    for b in range(B):
+        aidx[b, 2:2 + K + 3] = b
+    pos = np.zeros((B, L), np.int32)
+    pos[:, 2:2 + K] = np.arange(K)
+    pos[:, 2 + K:2 + K + 3] = np.arange(3)
+    batch_np = {
+        "input_ids": ids,
+        "attention_mask": np.ones((B, L), np.int32),
+        "labels": labels,
+        "audio": (0.1 * rng.standard_normal((B, 16000))
+                  ).astype(np.float32),
+        "trans_ids": rng.integers(10, 200, size=(B, 8)).astype(np.int32),
+        "trans_mask": np.ones((B, 8), np.int32),
+        "kind": kind, "aidx": aidx, "pos": pos,
+    }
+
+    losses = {}
+    shard_counts = {}
+    for on_mesh in (False, True):
+        model = DeSTA25AudioModel(cfg, seed=0)
+        optimizer = make_optimizer(OptimizerConfig(
+            lr=1e-3, warmup_steps=1, total_steps=10))
+        step = make_train_step(cfg, optimizer)
+        trainable, frozen = model.split_params()
+        if not on_mesh:
+            opt_state = optimizer.init(trainable)
+            _, _, metrics = step(trainable, frozen, opt_state,
+                                 {k: jnp.asarray(v)
+                                  for k, v in batch_np.items()})
+            losses[on_mesh] = float(metrics["loss"])
+            continue
+        mesh = make_mesh(n_data=2, n_model=4)
+        with use_mesh(mesh):
+            frozen = {
+                "llm": apply_sharding(frozen["llm"],
+                                      llm_partition_specs(frozen["llm"])),
+                "whisper": apply_sharding(
+                    frozen["whisper"],
+                    whisper_partition_specs(frozen["whisper"])),
+            }
+            specs = fsdp_partition_specs(trainable, min_size=128)
+            trainable = apply_sharding(trainable, specs)
+            shard_counts["in"] = sum(
+                1 for x in jax.tree.leaves(trainable)
+                if not x.sharding.is_fully_replicated)
+            opt_state = optimizer.init(trainable)
+            dbatch = {
+                k: jax.device_put(
+                    jnp.asarray(v),
+                    NamedSharding(mesh,
+                                  P("data", *([None] * (v.ndim - 1)))))
+                for k, v in batch_np.items()
+            }
+            new_tr, _, metrics = step(trainable, frozen, opt_state, dbatch)
+            losses[on_mesh] = float(metrics["loss"])
+            shard_counts["out"] = sum(
+                1 for x in jax.tree.leaves(new_tr)
+                if not x.sharding.is_fully_replicated)
+    assert shard_counts["in"] > 0, "nothing fsdp-sharded at dryrun scale"
+    assert shard_counts["out"] == shard_counts["in"]
+    assert np.isfinite(losses[True])
+    assert abs(losses[True] - losses[False]) < 1e-3, losses
