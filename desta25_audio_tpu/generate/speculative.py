@@ -53,27 +53,37 @@ from ..ops.fused_decode import fused_supported
 
 def ngram_propose(hist: jnp.ndarray, hlen: jnp.ndarray,
                   k: int) -> jnp.ndarray:
-    """Draft ``k`` tokens per row by bigram prompt-lookup.
+    """Draft ``k`` tokens per row by longest-suffix prompt-lookup.
 
     hist: [B, Th] emitted-token history (prompt ids + generated), padded
     with anything past ``hlen``; hlen: [B] valid lengths (>= 1).  Finds
-    the most recent earlier occurrence of the last bigram
-    (hist[hlen-2], hist[hlen-1]) and proposes the ``k`` tokens that
-    followed it.  Rows with no match (or hlen < 2) propose the last
-    token repeated — a free guess that still wins on degenerate loops.
+    the most recent earlier occurrence of the last TRIGRAM
+    (hist[hlen-3:hlen]) and proposes the ``k`` tokens that followed it;
+    backs off to the last bigram when no trigram recurs, and to
+    repeating the last token when neither does (a free guess that still
+    wins on degenerate loops).  The longer suffix disambiguates: on
+    structured text ("the cat sat" vs "the dog sat") the most recent
+    bigram occurrence often continues the WRONG phrase — matching one
+    more token of context lifts acceptance at zero extra verify cost
+    (the match is a rolled compare over [Th] on the VPU, nothing more).
     """
     B, Th = hist.shape
 
     def row(h, n):
         cur = h[jnp.maximum(n - 1, 0)]
         prev = h[jnp.maximum(n - 2, 0)]
+        prev2 = h[jnp.maximum(n - 3, 0)]
         i_idx = jnp.arange(Th - 1)
-        nxt = jnp.roll(h, -1)[:-1]
-        match = (h[:-1] == prev) & (nxt == cur)
-        # exclude the trailing bigram itself and anything past history
-        match &= (i_idx + 1) < (n - 1)
-        match &= n >= 2
-        best = jnp.max(jnp.where(match, i_idx, -1))
+        nxt = jnp.roll(h, -1)[:-1]    # h[i+1]
+        prv = jnp.roll(h, 1)[:-1]     # h[i-1] (garbage at i=0, masked)
+        match2 = (h[:-1] == prev) & (nxt == cur)
+        # exclude the trailing n-gram itself and anything past history
+        match2 &= (i_idx + 1) < (n - 1)
+        match2 &= n >= 2
+        match3 = match2 & (prv == prev2) & (i_idx >= 1) & (n >= 3)
+        best3 = jnp.max(jnp.where(match3, i_idx, -1))
+        best2 = jnp.max(jnp.where(match2, i_idx, -1))
+        best = jnp.where(best3 >= 0, best3, best2)
         found = best >= 0
         start = jnp.clip(best + 2, 0, Th - k)
         cand = jax.lax.dynamic_slice(h, (start,), (k,))

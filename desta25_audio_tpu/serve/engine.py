@@ -27,6 +27,12 @@ Request flow:
 Streaming: pass ``on_token(rid, token_id)`` to receive tokens as each
 tick's results land (per-tick granularity, not per-step).
 
+Lifecycle control: ``cancel(rid)`` retires a queued or running request
+(tokens so far are kept, finish_reason="cancelled"); ``submit(...,
+deadline_s=T)`` gives a request a wall budget *including queue wait* —
+expired requests are shed at the next tick with finish_reason="deadline"
+(backlog never grows unboundedly stale under overload).
+
 Shapes are bucketed (context padded to multiples of ``ctx_bucket``) so the
 engine compiles a handful of programs total.
 
@@ -48,6 +54,7 @@ from __future__ import annotations
 import functools
 import itertools
 import logging
+import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -77,7 +84,10 @@ class _Request:
     slot: Optional[int] = None
     done: bool = False
     truncated: bool = False   # context clipped or cache filled mid-run
-    finish_reason: str = ""   # "eos" | "length" | "cache_full"
+    # "eos" | "length" | "cache_full" | "cancelled" | "deadline"
+    finish_reason: str = ""
+    deadline_s: Optional[float] = None  # wall budget incl. queue wait
+    t_submit: float = 0.0
 
 
 class ContinuousBatchingEngine:
@@ -518,16 +528,19 @@ class ContinuousBatchingEngine:
 
     def submit(self, messages, max_new_tokens: Optional[int] = None,
                temperature: float = 0.0, top_p: float = 1.0,
-               do_sample: bool = False) -> int:
+               do_sample: bool = False,
+               deadline_s: Optional[float] = None) -> int:
         """Prepare a request (host phases + perception) and queue it."""
         return self.submit_many([messages], max_new_tokens=max_new_tokens,
                                 temperature=temperature, top_p=top_p,
-                                do_sample=do_sample)[0]
+                                do_sample=do_sample,
+                                deadline_s=deadline_s)[0]
 
     def submit_many(self, messages_list,
                     max_new_tokens: Optional[int] = None,
                     temperature: float = 0.0, top_p: float = 1.0,
-                    do_sample: bool = False) -> List[int]:
+                    do_sample: bool = False,
+                    deadline_s: Optional[float] = None) -> List[int]:
         """Queue several conversations with ONE batched host+perception
         pass (per-request perception dispatches would each pay tunnel RTT
         and run the encoder at batch 1 — VERDICT r1 weak #5)."""
@@ -556,9 +569,64 @@ class ContinuousBatchingEngine:
                 max_new_tokens=min(max_new_tokens or self.max_new,
                                    self.max_new),
                 temperature=temperature, top_p=top_p, do_sample=do_sample,
-                inject=inj, prompt_ids=valid_ids, truncated=truncated))
+                inject=inj, prompt_ids=valid_ids, truncated=truncated,
+                deadline_s=deadline_s, t_submit=time.monotonic()))
             rids.append(rid)
         return rids
+
+    # -- cancellation / deadlines ----------------------------------------
+
+    def _retire_unslotted(self, req: _Request, reason: str):
+        """Record a terminal result for a request that never reached (or
+        no longer holds) a slot."""
+        req.done = True
+        req.finish_reason = reason
+        self.finished[req.rid] = req.tokens
+        self.finished_info[req.rid] = {
+            "tokens": req.tokens,
+            "finish_reason": reason,
+            "truncated": req.truncated,
+        }
+
+    def cancel(self, rid: int) -> bool:
+        """Cancel a queued or running request.  Tokens generated so far
+        are kept in the result with finish_reason="cancelled"; a slot
+        freed mid-tick is safe (the in-flight tick's writes for it are
+        discarded as a zombie, same as slot reuse).  Returns False when
+        the id is unknown or already finished."""
+        for i, r in enumerate(self.queue):
+            if r.rid == rid:
+                self.queue.pop(i)
+                self._retire_unslotted(r, "cancelled")
+                return True
+        for s in range(self.n_slots):
+            req = self.slot_req[s]
+            if req is not None and req.rid == rid:
+                self._finish(s, "cancelled")
+                return True
+        return False
+
+    def _expire_deadlines(self) -> List[int]:
+        """Retire every request (queued or active) whose wall budget ran
+        out — queue wait counts, so deadlines shed load under backlog."""
+        now = time.monotonic()
+        expired: List[int] = []
+        for s in range(self.n_slots):
+            req = self.slot_req[s]
+            if (req is not None and req.deadline_s is not None
+                    and now - req.t_submit > req.deadline_s):
+                expired.append(req.rid)
+                self._finish(s, "deadline")
+        still: List[_Request] = []
+        for r in self.queue:
+            if (r.deadline_s is not None
+                    and now - r.t_submit > r.deadline_s):
+                expired.append(r.rid)
+                self._retire_unslotted(r, "deadline")
+            else:
+                still.append(r)
+        self.queue = still
+        return expired
 
     def _bucket_row(self, embeds, mask_row) -> Tuple[Any, int, bool]:
         """Left-pad/trim one [1, T, D] context to its ctx bucket.
@@ -712,6 +780,7 @@ class ContinuousBatchingEngine:
         admissions never stall the active slots' tick (VERDICT r1 weak
         #5); admitted requests join the next tick.  Returns request ids
         finished during this tick."""
+        expired = self._expire_deadlines()
         active = [s for s in range(self.n_slots)
                   if self.slot_req[s] is not None]
         outs = ms = None
@@ -795,16 +864,16 @@ class ContinuousBatchingEngine:
                 else:
                     finished = self._consume_tick(*payload)
             self._inflight = new_inflight
-            return finished
+            return expired + finished
 
         self._admit_queued()
         if outs is None:
-            return []
+            return expired
         if self.speculative_k:
-            return self._consume_spec_tick(
+            return expired + self._consume_spec_tick(
                 [(s, self.slot_req[s]) for s in active],
                 np.asarray(outs), np.asarray(ms), write_pos)
-        return self._consume_tick(
+        return expired + self._consume_tick(
             outs, [(s, self.slot_req[s]) for s in active], write_pos,
             advance=True)
 
@@ -918,8 +987,8 @@ class ContinuousBatchingEngine:
 
     def results(self) -> Dict[int, Dict[str, Any]]:
         """Detailed per-request results: {rid: {"text", "tokens",
-        "finish_reason" ("eos" | "length" | "cache_full"),
-        "truncated"}}.  ``truncated`` is True when the context was
+        "finish_reason" ("eos" | "length" | "cache_full" | "cancelled"
+        | "deadline"), "truncated"}}.  ``truncated`` is True when the context was
         clipped at admission (on_overflow="truncate") or the KV cache
         filled before the request hit eos/budget — truncation is always
         surfaced, never silent."""

@@ -501,3 +501,58 @@ def test_engine_pipelined_spec_matches_sequential(wavs, monkeypatch):
         return [res[r] for r in rids]
 
     assert run(True) == run(False)
+
+
+def test_engine_cancel_and_deadline(model, wavs):
+    """cancel() retires queued and running requests (tokens kept);
+    deadline_s sheds queued + active requests at the next tick; other
+    requests' outputs are unaffected."""
+    MAX_NEW = 6
+    ref = ContinuousBatchingEngine(model, n_slots=1, max_ctx=128,
+                                   max_new_tokens=MAX_NEW, ctx_bucket=128)
+    keep_ref = ref.submit(_msgs(wavs[0], 0))
+    ref_text = ref.run_until_done()[keep_ref]
+
+    eng = ContinuousBatchingEngine(model, n_slots=1, max_ctx=128,
+                                   max_new_tokens=MAX_NEW, ctx_bucket=128)
+    keep = eng.submit(_msgs(wavs[0], 0))
+    cancel_queued = eng.submit(_msgs(wavs[1], 1))
+    # n_slots=1: first step admits `keep`; the others stay queued
+    eng.step()
+    assert eng.cancel(cancel_queued) is True
+    assert eng.cancel(cancel_queued) is False  # already retired
+    assert eng.cancel(10 ** 9) is False        # unknown id
+    res = eng.run_until_done()
+    info = eng.results()
+    assert info[cancel_queued]["finish_reason"] == "cancelled"
+    assert info[cancel_queued]["tokens"] == []
+    assert res[keep] == ref_text
+    assert info[keep]["finish_reason"] in ("eos", "length")
+
+    # cancel a RUNNING request: partial tokens kept
+    eng2 = ContinuousBatchingEngine(model, n_slots=1, max_ctx=128,
+                                    max_new_tokens=64, ctx_bucket=128,
+                                    steps_per_tick=2)
+    run = eng2.submit(_msgs(wavs[2], 2))
+    eng2.step()  # admit
+    eng2.step()  # decode one tick (2 tokens)
+    assert eng2.cancel(run) is True
+    info2 = eng2.results()
+    assert info2[run]["finish_reason"] == "cancelled"
+    assert 0 < len(info2[run]["tokens"]) < 64
+    # freed slot is reusable
+    nxt = eng2.submit(_msgs(wavs[0], 0), max_new_tokens=4)
+    res2 = eng2.run_until_done()
+    assert isinstance(res2[nxt], str)
+
+    # deadlines: an already-expired budget is shed on the next tick,
+    # whether queued or active
+    eng3 = ContinuousBatchingEngine(model, n_slots=1, max_ctx=128,
+                                    max_new_tokens=MAX_NEW,
+                                    ctx_bucket=128)
+    dead = eng3.submit(_msgs(wavs[1], 1), deadline_s=0.0)
+    live = eng3.submit(_msgs(wavs[0], 0))
+    res3 = eng3.run_until_done()
+    info3 = eng3.results()
+    assert info3[dead]["finish_reason"] == "deadline"
+    assert res3[live] == ref_text

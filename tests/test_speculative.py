@@ -36,6 +36,24 @@ def test_ngram_propose_matches_reference():
     assert got[2].tolist() == [4, 4, 4]
 
 
+def test_ngram_propose_trigram_disambiguates():
+    """Longest-suffix backoff: when the most recent bigram occurrence
+    continues the WRONG phrase, the trigram match wins."""
+    # suffix ...5,2,3: bigram (2,3) most recently at 5..6 (continues 9),
+    # but the trigram (5,2,3) occurred at 0..2 (continues 7)
+    hist = jnp.asarray(
+        [[5, 2, 3, 7, 1, 2, 3, 9, 5, 2, 3, 0]], jnp.int32)
+    hlen = jnp.asarray([11], jnp.int32)
+    got = np.asarray(ngram_propose(hist, hlen, 2))
+    assert got[0].tolist() == [7, 1]
+    # bigram-only backoff still works when the trigram never recurs:
+    # suffix ...8,2,3 — no earlier (8,2,3), latest (2,3) continues 9
+    hist2 = jnp.asarray(
+        [[5, 2, 3, 7, 1, 2, 3, 9, 8, 2, 3, 0]], jnp.int32)
+    got2 = np.asarray(ngram_propose(hist2, hlen, 2))
+    assert got2[0].tolist() == [9, 8]
+
+
 def _nano_cfg():
     return LLMConfig(
         model_id="test/fused-nano", vocab_size=512, hidden_size=512,
