@@ -155,3 +155,47 @@ def test_cli_generate_smoke(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert isinstance(out["text"][0], str)
     assert out["audios"][0][1] == "a tone"
+
+
+def test_cli_serve_smoke(tmp_path):
+    """cli.serve end-to-end: stage a nano checkpoint, boot the HTTP
+    server on an ephemeral port (serve_http patched to non-blocking),
+    POST a text-only generate, shut down."""
+    import http.client
+    import json
+    from unittest import mock
+
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models.desta import DeSTA25AudioModel
+
+    cfg = DeSTA25Config(
+        llm_model_id="test/llama-nano",
+        encoder_model_id="test/whisper-nano",
+        prompt_size=4, qformer_num_hidden_layers=2, dtype="float32")
+    DeSTA25AudioModel(cfg, seed=0).save_pretrained(str(tmp_path / "ck"))
+
+    captured = {}
+
+    def fake_serve(engine, host, port):
+        from desta25_audio_tpu.serve.http import start_http
+        captured["httpd"], captured["es"] = start_http(engine, host, 0)
+
+    from desta25_audio_tpu.cli import serve as cli_serve
+    # serve_http is imported inside main(); patch at its source module
+    import desta25_audio_tpu.serve.http as http_mod
+    with mock.patch.object(http_mod, "serve_http",
+                           side_effect=fake_serve):
+        cli_serve.main(["--model", str(tmp_path / "ck"),
+                        "--slots", "2", "--max-ctx", "128",
+                        "--max-new-tokens", "4"])
+    port = captured["httpd"].server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/v1/generate", body=json.dumps(
+        {"messages": [{"role": "user", "content": "hi"}],
+         "max_new_tokens": 3}),
+        headers={"Content-Type": "application/json"})
+    body = json.loads(conn.getresponse().read())
+    assert isinstance(body["text"], str)
+    conn.close()
+    captured["httpd"].shutdown()
+    captured["es"].close()
