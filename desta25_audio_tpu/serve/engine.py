@@ -586,6 +586,7 @@ class ContinuousBatchingEngine:
             "tokens": req.tokens,
             "finish_reason": reason,
             "truncated": req.truncated,
+            "prompt_tokens": req.ctx_len,
         }
 
     def cancel(self, rid: int) -> bool:
@@ -969,6 +970,7 @@ class ContinuousBatchingEngine:
             "tokens": req.tokens,
             "finish_reason": reason,
             "truncated": req.truncated,
+            "prompt_tokens": req.ctx_len,
         }
         self.slot_req[slot] = None
         self.slot_mask[slot] = 0

@@ -22,6 +22,18 @@ API (JSON in/out):
        ...}` (per-tick granularity — the engine syncs the host once per
        tick, so tokens arrive in tick-sized bursts).
   DELETE /v1/requests/<id>   -> {"cancelled": true|false}
+  GET  /v1/models            -> OpenAI-style model list
+  POST /v1/chat/completions  OpenAI chat schema (string content or
+                             typed parts; audio via {"type":
+                             "input_audio", "input_audio": {"data":
+                             <b64>, "format": "wav", "transcription":
+                             ...}} or {"type": "audio", "audio":
+                             <server path>}); max_tokens /
+                             max_completion_tokens, temperature
+                             (>0 samples), top_p, stream (SSE
+                             chat.completion.chunk deltas + [DONE]).
+                             Engine-native finish reasons ride along as
+                             choices[0].desta_finish_reason/truncated.
 
 Concurrency model: ONE engine thread owns every engine call (submit /
 step / cancel run under ``self._lock``; jax dispatch stays
@@ -163,7 +175,71 @@ def _decode_inline_audio(messages: List[Dict[str, Any]],
     return out
 
 
+def _oai_to_messages(oai_messages: List[Dict[str, Any]],
+                     scratch: List[str]) -> List[Dict[str, Any]]:
+    """OpenAI chat schema -> generate() message schema.
+
+    ``content`` may be a plain string or a list of parts; audio parts
+    become ``<|AUDIO|>`` placeholders + ``audios`` entries:
+
+      {"type": "text", "text": ...}
+      {"type": "input_audio", "input_audio": {"data": <b64 wav>,
+          "format": "wav", "transcription": <optional hint>}}
+      {"type": "audio", "audio": <server-visible path>,
+          "transcription": <optional>}          (extension)
+
+    Audio parts without a transcription run ASR-in-loop downstream
+    (reference semantics, modeling_desta25.py:1484-1568)."""
+    msgs = []
+    for m in oai_messages:
+        content = m.get("content", "")
+        audios: List[Dict[str, Any]] = []
+        if isinstance(content, list):
+            text_parts = []
+            for part in content:
+                t = part.get("type")
+                if t == "text":
+                    text_parts.append(part["text"])
+                elif t == "input_audio":
+                    ia = part["input_audio"]
+                    fmt = ia.get("format", "wav")
+                    f = tempfile.NamedTemporaryFile(
+                        suffix=f".{fmt}", delete=False)
+                    f.write(base64.b64decode(ia["data"]))
+                    f.close()
+                    scratch.append(f.name)
+                    text_parts.append("<|AUDIO|>")
+                    a: Dict[str, Any] = {"audio": f.name}
+                    if ia.get("transcription") is not None:
+                        a["text"] = ia["transcription"]
+                    audios.append(a)
+                elif t == "audio":
+                    text_parts.append("<|AUDIO|>")
+                    a = {"audio": part["audio"]}
+                    if part.get("transcription") is not None:
+                        a["text"] = part["transcription"]
+                    audios.append(a)
+                else:
+                    raise ValueError(
+                        f"unsupported content part type: {t!r}")
+            content = "".join(text_parts)
+        msg: Dict[str, Any] = {"role": m["role"], "content": content}
+        if audios:
+            msg["audios"] = audios
+        msgs.append(msg)
+    return msgs
+
+
+def _oai_finish(reason: str) -> str:
+    """Engine finish_reason -> OpenAI finish_reason (native reason is
+    also surfaced as ``desta_finish_reason``)."""
+    return "stop" if reason == "eos" else "length"
+
+
 def make_handler(server: EngineServer, tokenizer):
+    model_name = getattr(getattr(server.engine, "model", None), "config",
+                         None)
+    model_name = getattr(model_name, "llm_model_id", "desta25-audio-tpu")
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -188,6 +264,10 @@ def make_handler(server: EngineServer, tokenizer):
                     "active": sum(r is not None for r in eng.slot_req),
                     "queued": len(eng.queue),
                 })
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [{
+                    "id": model_name, "object": "model",
+                    "owned_by": "desta25_audio_tpu"}]})
             else:
                 self._json(404, {"error": "not found"})
 
@@ -203,29 +283,32 @@ def make_handler(server: EngineServer, tokenizer):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/v1/generate":
-                self._json(404, {"error": "not found"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                messages = req["messages"]
-            except (json.JSONDecodeError, KeyError) as e:
+            except json.JSONDecodeError as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
+            if self.path == "/v1/generate":
+                self._post_generate(req)
+            elif self.path == "/v1/chat/completions":
+                self._post_chat(req)
+            else:
+                self._json(404, {"error": "not found"})
+
+        # -- native API ---------------------------------------------------
+
+        def _submit(self, req, messages, kw) -> Optional[int]:
+            """Decode inline audio, submit; returns rid or None (a 400
+            has been sent)."""
             scratch: List[str] = []
             try:
                 messages = _decode_inline_audio(messages, scratch)
-                kw = {}
-                for k in ("max_new_tokens", "temperature", "top_p",
-                          "do_sample", "deadline_s"):
-                    if k in req:
-                        kw[k] = req[k]
                 stream = bool(req.get("stream", False))
-                rid = server.submit(messages, stream=stream, **kw)
+                return server.submit(messages, stream=stream, **kw)
             except Exception as e:  # noqa: BLE001 (bad audio, overflow)
                 self._json(400, {"error": str(e)})
-                return
+                return None
             finally:
                 import os
                 for p in scratch:
@@ -233,36 +316,132 @@ def make_handler(server: EngineServer, tokenizer):
                         os.unlink(p)
                     except OSError:
                         pass
-            if not stream:
-                info = server.wait(rid)
-                self._json(200, {"id": rid, **info})
-                return
-            # SSE stream
+
+        def _sse_begin(self):
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
 
-            def emit(obj):
-                data = f"data: {json.dumps(obj)}\n\n".encode()
-                chunk = f"{len(data):x}\r\n".encode() + data + b"\r\n"
-                self.wfile.write(chunk)
-                self.wfile.flush()
+        def _sse_emit(self, payload: str):
+            data = f"data: {payload}\n\n".encode()
+            chunk = f"{len(data):x}\r\n".encode() + data + b"\r\n"
+            self.wfile.write(chunk)
+            self.wfile.flush()
 
+        def _post_generate(self, req):
+            try:
+                messages = req["messages"]
+            except KeyError as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            kw = {}
+            for k in ("max_new_tokens", "temperature", "top_p",
+                      "do_sample", "deadline_s"):
+                if k in req:
+                    kw[k] = req[k]
+            rid = self._submit(req, messages, kw)
+            if rid is None:
+                return
+            if not req.get("stream", False):
+                info = server.wait(rid)
+                self._json(200, {"id": rid, **info})
+                return
+            self._sse_begin()
             try:
                 for tok in server.stream_tokens(rid):
-                    emit({"token": int(tok),
-                          "text": tokenizer.decode(
-                              [tok], skip_special_tokens=True)})
+                    self._sse_emit(json.dumps(
+                        {"token": int(tok),
+                         "text": tokenizer.decode(
+                             [tok], skip_special_tokens=True)}))
                 info = server.result_now(rid) or {}
-                emit({"done": True,
-                      "finish_reason": info.get("finish_reason", ""),
-                      "truncated": info.get("truncated", False),
-                      "text": info.get("text", "")})
+                self._sse_emit(json.dumps(
+                    {"done": True,
+                     "finish_reason": info.get("finish_reason", ""),
+                     "truncated": info.get("truncated", False),
+                     "text": info.get("text", "")}))
                 self.wfile.write(b"0\r\n\r\n")
             except (BrokenPipeError, ConnectionResetError):
                 server.cancel(rid)  # client went away: free the slot
+
+        # -- OpenAI-compatible API -----------------------------------------
+
+        def _post_chat(self, req):
+            """POST /v1/chat/completions — OpenAI chat schema over the
+            engine.  temperature>0 samples (OpenAI semantics; default
+            1.0); temperature==0 decodes greedily."""
+            try:
+                oai_messages = req["messages"]
+                scratch: List[str] = []
+                messages = _oai_to_messages(oai_messages, scratch)
+            except (KeyError, ValueError, TypeError) as e:
+                self._json(400, {"error": {
+                    "message": f"bad request: {e}", "type":
+                    "invalid_request_error"}})
+                return
+            temp = float(req.get("temperature", 1.0))
+            kw = {"temperature": temp, "do_sample": temp > 0.0,
+                  "top_p": float(req.get("top_p", 1.0))}
+            mnt = req.get("max_completion_tokens", req.get("max_tokens"))
+            if mnt is not None:
+                kw["max_new_tokens"] = int(mnt)
+            try:
+                rid = self._submit(req, messages, kw)
+            finally:
+                import os as _os
+                for p in scratch:
+                    try:
+                        _os.unlink(p)
+                    except OSError:
+                        pass
+            if rid is None:
+                return
+            cid = f"chatcmpl-{rid}"
+            created = int(time.time())
+            if not req.get("stream", False):
+                info = server.wait(rid)
+                n_out = len(info.get("tokens", []))
+                n_in = int(info.get("prompt_tokens", 0))
+                self._json(200, {
+                    "id": cid, "object": "chat.completion",
+                    "created": created, "model": model_name,
+                    "choices": [{
+                        "index": 0,
+                        "message": {"role": "assistant",
+                                    "content": info.get("text", "")},
+                        "finish_reason":
+                            _oai_finish(info.get("finish_reason", "")),
+                        "desta_finish_reason":
+                            info.get("finish_reason", ""),
+                        "truncated": info.get("truncated", False),
+                    }],
+                    "usage": {"prompt_tokens": n_in,
+                              "completion_tokens": n_out,
+                              "total_tokens": n_in + n_out}})
+                return
+            self._sse_begin()
+
+            def chunk(delta, finish=None):
+                return json.dumps({
+                    "id": cid, "object": "chat.completion.chunk",
+                    "created": created, "model": model_name,
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}]})
+
+            try:
+                self._sse_emit(chunk({"role": "assistant",
+                                      "content": ""}))
+                for tok in server.stream_tokens(rid):
+                    self._sse_emit(chunk({"content": tokenizer.decode(
+                        [tok], skip_special_tokens=True)}))
+                info = server.result_now(rid) or {}
+                self._sse_emit(chunk(
+                    {}, _oai_finish(info.get("finish_reason", ""))))
+                self._sse_emit("[DONE]")
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                server.cancel(rid)
 
     return Handler
 

@@ -137,3 +137,65 @@ def test_http_bad_requests(served):
     assert status == 400 and "error" in body
     status, body = _post(served, "/v1/nothing", {})
     assert status == 404
+
+
+def test_openai_chat_completions(model, wav_path, served):
+    """OpenAI schema (typed content parts + inline b64 audio) returns a
+    chat.completion object whose text matches one-shot generate()."""
+    expected = model.generate(_msgs(wav_path), max_new_tokens=MAX_NEW,
+                              do_sample=False).text[0]
+    with open(wav_path, "rb") as f:
+        b64 = base64.b64encode(f.read()).decode()
+    oai = {"messages": [{"role": "user", "content": [
+               {"type": "text", "text": "Describe: "},
+               {"type": "input_audio",
+                "input_audio": {"data": b64, "format": "wav",
+                                "transcription": "a tone"}}]}],
+           "max_tokens": MAX_NEW, "temperature": 0}
+    status, body = _post(served, "/v1/chat/completions", oai)
+    assert status == 200
+    assert body["object"] == "chat.completion"
+    ch = body["choices"][0]
+    assert ch["message"]["role"] == "assistant"
+    assert ch["message"]["content"] == expected
+    assert ch["finish_reason"] in ("stop", "length")
+    u = body["usage"]
+    assert 0 < u["completion_tokens"] <= MAX_NEW
+    assert u["total_tokens"] == u["prompt_tokens"] + u["completion_tokens"]
+    assert u["prompt_tokens"] > 0
+
+
+def test_openai_chat_streaming(model, wav_path, served):
+    expected = model.generate(_msgs(wav_path), max_new_tokens=MAX_NEW,
+                              do_sample=False).text[0]
+    oai = {"messages": [{"role": "user", "content": [
+               {"type": "text", "text": "Describe: "},
+               {"type": "audio", "audio": wav_path,
+                "transcription": "a tone"}]}],
+           "max_tokens": MAX_NEW, "temperature": 0, "stream": True}
+    resp, conn = _post(served, "/v1/chat/completions", oai, stream=True)
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    events = [c[len("data: "):] for c in resp.read().decode().split("\n\n")
+              if c.startswith("data: ")]
+    conn.close()
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    assert text == expected
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_openai_models_and_errors(served):
+    conn = http.client.HTTPConnection("127.0.0.1", served, timeout=60)
+    conn.request("GET", "/v1/models")
+    m = json.loads(conn.getresponse().read())
+    conn.close()
+    assert m["object"] == "list" and m["data"][0]["object"] == "model"
+
+    status, body = _post(served, "/v1/chat/completions",
+                         {"messages": [{"role": "user", "content": [
+                             {"type": "bogus"}]}]})
+    assert status == 400 and "error" in body
