@@ -84,8 +84,11 @@ class _Request:
     slot: Optional[int] = None
     done: bool = False
     truncated: bool = False   # context clipped or cache filled mid-run
-    # "eos" | "length" | "cache_full" | "cancelled" | "deadline"
+    # "eos" | "stop" | "length" | "cache_full" | "cancelled" | "deadline"
     finish_reason: str = ""
+    stop_strs: tuple = ()               # user stop sequences (host-side)
+    stop_token_ids: frozenset = frozenset()
+    final_text: Optional[str] = None    # text trimmed at the stop match
     deadline_s: Optional[float] = None  # wall budget incl. queue wait
     t_submit: float = 0.0
 
@@ -529,18 +532,24 @@ class ContinuousBatchingEngine:
     def submit(self, messages, max_new_tokens: Optional[int] = None,
                temperature: float = 0.0, top_p: float = 1.0,
                do_sample: bool = False,
-               deadline_s: Optional[float] = None) -> int:
+               deadline_s: Optional[float] = None,
+               stop: Optional[List[str]] = None,
+               stop_token_ids: Optional[List[int]] = None) -> int:
         """Prepare a request (host phases + perception) and queue it."""
         return self.submit_many([messages], max_new_tokens=max_new_tokens,
                                 temperature=temperature, top_p=top_p,
                                 do_sample=do_sample,
-                                deadline_s=deadline_s)[0]
+                                deadline_s=deadline_s, stop=stop,
+                                stop_token_ids=stop_token_ids)[0]
 
     def submit_many(self, messages_list,
                     max_new_tokens: Optional[int] = None,
                     temperature: float = 0.0, top_p: float = 1.0,
                     do_sample: bool = False,
-                    deadline_s: Optional[float] = None) -> List[int]:
+                    deadline_s: Optional[float] = None,
+                    stop: Optional[List[str]] = None,
+                    stop_token_ids: Optional[List[int]] = None
+                    ) -> List[int]:
         """Queue several conversations with ONE batched host+perception
         pass (per-request perception dispatches would each pay tunnel RTT
         and run the encoder at batch 1 — VERDICT r1 weak #5)."""
@@ -570,7 +579,9 @@ class ContinuousBatchingEngine:
                                    self.max_new),
                 temperature=temperature, top_p=top_p, do_sample=do_sample,
                 inject=inj, prompt_ids=valid_ids, truncated=truncated,
-                deadline_s=deadline_s, t_submit=time.monotonic()))
+                deadline_s=deadline_s, t_submit=time.monotonic(),
+                stop_strs=tuple(stop or ()),
+                stop_token_ids=frozenset(stop_token_ids or ())))
             rids.append(rid)
         return rids
 
@@ -588,6 +599,8 @@ class ContinuousBatchingEngine:
             "truncated": req.truncated,
             "prompt_tokens": req.ctx_len,
         }
+        if req.final_text is not None:
+            self.finished_info[req.rid]["text"] = req.final_text
 
     def cancel(self, rid: int) -> bool:
         """Cancel a queued or running request.  Tokens generated so far
@@ -740,10 +753,9 @@ class ContinuousBatchingEngine:
             if self.on_token is not None:
                 self.on_token(req.rid, t)
             self.cur_tok[s] = t
-            if t in self._eos:
-                self._finish(s, "eos")
-            elif len(req.tokens) >= req.max_new_tokens:
-                self._finish(s, "length")
+            fin = self._check_stop(req, t)
+            if fin:
+                self._finish(s, fin)
         if self.pipeline_ticks:
             # patch the device-resident slot state for the admitted
             # slots (continuing slots keep their device-chained values)
@@ -878,6 +890,35 @@ class ContinuousBatchingEngine:
             outs, [(s, self.slot_req[s]) for s in active], write_pos,
             advance=True)
 
+    def _check_stop(self, req: _Request, tok: int) -> Optional[str]:
+        """Per-token finish check (host side; tokens arrive in tick
+        bursts).  Order: eos > user stop token > user stop string >
+        length budget.  Stop matches trim the result text at the match
+        (OpenAI semantics — the stop sequence is excluded); tokens
+        already streamed via on_token may include part of it."""
+        if tok in self._eos:
+            return "eos"
+        if tok in req.stop_token_ids:
+            req.final_text = self.model.tokenizer.decode(
+                req.tokens[:-1], skip_special_tokens=True)
+            return "stop"
+        if req.stop_strs:
+            # decode a tail window; BPE tokens are >=1 char so a window
+            # of len(stop) tokens always covers a just-completed match
+            w = 4 + max(len(s_) for s_ in req.stop_strs)
+            tail = self.model.tokenizer.decode(
+                req.tokens[-w:], skip_special_tokens=True)
+            for s_ in req.stop_strs:
+                if s_ in tail:
+                    full = self.model.tokenizer.decode(
+                        req.tokens, skip_special_tokens=True)
+                    j = full.rfind(s_)
+                    req.final_text = full[:j] if j >= 0 else full
+                    return "stop"
+        if len(req.tokens) >= req.max_new_tokens:
+            return "length"
+        return None
+
     def _consume_tick(self, outs, slot_reqs, write_pos,
                       advance: bool = False) -> List[int]:
         """Host bookkeeping for a plain tick.  ``advance=True``
@@ -898,11 +939,8 @@ class ContinuousBatchingEngine:
                 req.tokens.append(tok)
                 if self.on_token is not None:
                     self.on_token(req.rid, tok)
-                if tok in self._eos:
-                    fin = "eos"
-                    break
-                if len(req.tokens) >= req.max_new_tokens:
-                    fin = "length"
+                fin = self._check_stop(req, tok)
+                if fin:
                     break
             if fin is None and steps_ok < K:
                 # the cache filled mid-tick: surfaced, not silent
@@ -937,11 +975,8 @@ class ContinuousBatchingEngine:
                     req.tokens.append(tok)
                     if self.on_token is not None:
                         self.on_token(req.rid, tok)
-                    if tok in self._eos:
-                        fin = "eos"
-                        break
-                    if len(req.tokens) >= req.max_new_tokens:
-                        fin = "length"
+                    fin = self._check_stop(req, tok)
+                    if fin:
                         break
                 advanced += m
                 if fin:
@@ -972,6 +1007,8 @@ class ContinuousBatchingEngine:
             "truncated": req.truncated,
             "prompt_tokens": req.ctx_len,
         }
+        if req.final_text is not None:
+            self.finished_info[req.rid]["text"] = req.final_text
         self.slot_req[slot] = None
         self.slot_mask[slot] = 0
         self.slot_pos[slot] = 0
@@ -989,15 +1026,18 @@ class ContinuousBatchingEngine:
 
     def results(self) -> Dict[int, Dict[str, Any]]:
         """Detailed per-request results: {rid: {"text", "tokens",
-        "finish_reason" ("eos" | "length" | "cache_full" | "cancelled"
-        | "deadline"), "truncated"}}.  ``truncated`` is True when the context was
-        clipped at admission (on_overflow="truncate") or the KV cache
-        filled before the request hit eos/budget — truncation is always
-        surfaced, never silent."""
+        "finish_reason" ("eos" | "stop" | "length" | "cache_full" |
+        "cancelled" | "deadline"), "truncated", "prompt_tokens"}}.
+        ``truncated`` is True when the context was clipped at admission
+        (on_overflow="truncate") or the KV cache filled before the
+        request hit eos/budget — truncation is always surfaced, never
+        silent.  A request finished by a user stop sequence / stop token
+        carries text trimmed at the match (the stop itself excluded)."""
         tk = self.model.tokenizer
         return {
             rid: {**info,
-                  "text": tk.decode(info["tokens"],
-                                    skip_special_tokens=True)}
+                  "text": info.get("text") if "text" in info
+                  else tk.decode(info["tokens"],
+                                 skip_special_tokens=True)}
             for rid, info in self.finished_info.items()
         }

@@ -233,7 +233,7 @@ def _oai_to_messages(oai_messages: List[Dict[str, Any]],
 def _oai_finish(reason: str) -> str:
     """Engine finish_reason -> OpenAI finish_reason (native reason is
     also surfaced as ``desta_finish_reason``)."""
-    return "stop" if reason == "eos" else "length"
+    return "stop" if reason in ("eos", "stop") else "length"
 
 
 def make_handler(server: EngineServer, tokenizer):
@@ -338,9 +338,12 @@ def make_handler(server: EngineServer, tokenizer):
                 return
             kw = {}
             for k in ("max_new_tokens", "temperature", "top_p",
-                      "do_sample", "deadline_s"):
+                      "do_sample", "deadline_s", "stop",
+                      "stop_token_ids"):
                 if k in req:
                     kw[k] = req[k]
+            if isinstance(kw.get("stop"), str):
+                kw["stop"] = [kw["stop"]]
             rid = self._submit(req, messages, kw)
             if rid is None:
                 return
@@ -386,6 +389,9 @@ def make_handler(server: EngineServer, tokenizer):
             mnt = req.get("max_completion_tokens", req.get("max_tokens"))
             if mnt is not None:
                 kw["max_new_tokens"] = int(mnt)
+            stop = req.get("stop")
+            if stop is not None:
+                kw["stop"] = [stop] if isinstance(stop, str) else stop
             try:
                 rid = self._submit(req, messages, kw)
             finally:

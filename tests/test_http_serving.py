@@ -188,6 +188,25 @@ def test_openai_chat_streaming(model, wav_path, served):
     assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
 
 
+def test_openai_stop_sequence(model, served):
+    """OpenAI `stop` param trims the completion at the stop match with
+    finish_reason "stop"."""
+    base = model.generate([{"role": "user", "content": "Say hello."}],
+                          max_new_tokens=MAX_NEW, do_sample=False).text[0]
+    assert len(base) >= 3
+    stop = base[1:3]
+    status, body = _post(served, "/v1/chat/completions",
+                         {"messages": [{"role": "user",
+                                        "content": "Say hello."}],
+                          "max_tokens": MAX_NEW, "temperature": 0,
+                          "stop": stop})
+    assert status == 200
+    ch = body["choices"][0]
+    assert ch["finish_reason"] == "stop"
+    assert stop not in ch["message"]["content"]
+    assert base.startswith(ch["message"]["content"])
+
+
 def test_openai_models_and_errors(served):
     conn = http.client.HTTPConnection("127.0.0.1", served, timeout=60)
     conn.request("GET", "/v1/models")

@@ -556,3 +556,45 @@ def test_engine_cancel_and_deadline(model, wavs):
     info3 = eng3.results()
     assert info3[dead]["finish_reason"] == "deadline"
     assert res3[live] == ref_text
+
+
+def test_engine_stop_sequences_and_stop_tokens(model, wavs):
+    """User stop sequences finish a request with finish_reason="stop"
+    and trim the result text at the match; stop_token_ids behave like
+    extra eos ids (token kept in tokens, excluded from text)."""
+    MAX_NEW = 8
+    msgs = _msgs(wavs[0], 0)
+    eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                   max_new_tokens=MAX_NEW, ctx_bucket=128)
+    rid = eng.submit(msgs)
+    eng.run_until_done()
+    base = eng.results()[rid]
+    assert base["finish_reason"] in ("eos", "length")
+    base_text, base_toks = base["text"], base["tokens"]
+    assert len(base_toks) >= 3, "nano model stopped too early for test"
+
+    # stop string: the decoded text of the 2nd+3rd generated tokens
+    tk = model.tokenizer
+    stop_str = tk.decode(base_toks[1:3], skip_special_tokens=True)
+    assert stop_str and stop_str in base_text
+    eng2 = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                    max_new_tokens=MAX_NEW,
+                                    ctx_bucket=128)
+    rid2 = eng2.submit(msgs, stop=[stop_str])
+    eng2.run_until_done()
+    r2 = eng2.results()[rid2]
+    assert r2["finish_reason"] == "stop"
+    assert stop_str not in r2["text"]
+    assert base_text.startswith(r2["text"])
+    assert len(r2["tokens"]) < len(base_toks) or r2["text"] != base_text
+
+    # stop token id: the first generated token -> empty text, reason stop
+    eng3 = ContinuousBatchingEngine(model, n_slots=2, max_ctx=128,
+                                    max_new_tokens=MAX_NEW,
+                                    ctx_bucket=128)
+    rid3 = eng3.submit(msgs, stop_token_ids=[int(base_toks[0])])
+    eng3.run_until_done()
+    r3 = eng3.results()[rid3]
+    assert r3["finish_reason"] == "stop"
+    assert r3["tokens"][:1] == base_toks[:1] and len(r3["tokens"]) == 1
+    assert r3["text"] == ""
