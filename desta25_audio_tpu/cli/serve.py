@@ -36,6 +36,8 @@ def main(argv=None):
     parser.add_argument("--pipeline-ticks", action="store_true")
     parser.add_argument("--on-overflow", choices=["error", "truncate"],
                         default="error")
+    parser.add_argument("--audio-cache", type=int, default=64,
+                        help="per-clip feature cache capacity (0 = off)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -62,7 +64,8 @@ def main(argv=None):
         steps_per_tick=args.steps_per_tick,
         speculative_k=args.speculative_k,
         pipeline_ticks=args.pipeline_ticks,
-        on_overflow=args.on_overflow)
+        on_overflow=args.on_overflow,
+        audio_cache=args.audio_cache)
     logger.info("serving on http://%s:%d (%d slots)", args.host,
                 args.port, args.slots)
     serve_http(engine, args.host, args.port)

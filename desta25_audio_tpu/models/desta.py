@@ -88,6 +88,13 @@ class DeSTA25AudioModel:
         # jitted phase-C prepare (perception + splice): eager execution
         # would dispatch every op over the device tunnel individually
         self._prepare_jit = jax.jit(self.prepare_inputs_embeds)
+        # audio-feature cache (serving): None = off; see
+        # enable_audio_cache().  The cached path splits phase C into a
+        # perception program over cache MISSES only + a splice program.
+        self.audio_cache = None
+        self._perception_jit = jax.jit(
+            lambda p, mel: perception_apply(p, mel, self.config))
+        self._splice_jit = jax.jit(self.prepare_inputs_embeds_from_feats)
 
     # -- params -----------------------------------------------------------
 
@@ -261,6 +268,29 @@ class DeSTA25AudioModel:
                               kind, aidx, pos)
         return embeds, (audio_feats, local_tokens)
 
+    def prepare_inputs_embeds_from_feats(self, params, input_ids,
+                                         audio_feats, trans_ids, kind,
+                                         aidx, pos):
+        """Splice-only device program: like ``prepare_inputs_embeds`` but
+        taking precomputed per-clip connector tokens (audio-feature cache
+        path) instead of mel."""
+        text_embeds = jllm.embed_tokens(params["llm"], input_ids)
+        trans_embeds = jax.lax.stop_gradient(
+            jllm.embed_tokens(params["llm"], trans_ids))
+        return apply_splice(text_embeds, audio_feats, trans_embeds,
+                            kind, aidx, pos)
+
+    def enable_audio_cache(self, capacity: int = 64) -> None:
+        """Turn on the per-clip feature cache (file decode + VAD + ASR +
+        perception skipped on hits; models/feature_cache.py).  Serving
+        default; one-shot generate() leaves it off."""
+        from .feature_cache import AudioFeatureCache
+        if capacity <= 0:
+            self.audio_cache = None
+        elif self.audio_cache is None \
+                or self.audio_cache.capacity != capacity:
+            self.audio_cache = AudioFeatureCache(capacity)
+
     # -- generate ---------------------------------------------------------
 
     def generate(self, messages, temperature: float = 0.7,
@@ -415,29 +445,62 @@ class DeSTA25AudioModel:
             return None  # caller takes the text-only path
 
         # --- phase A: audio decode + VAD + ASR --------------------------
-        samples = []
+        # (with the audio-feature cache enabled, hits skip all of it:
+        # file decode, VAD, ASR — models/feature_cache.py)
+        N = len(all_audios)
+        cache = self.audio_cache
+        keys: List[Any] = [None] * N
+        centries: List[Optional[Dict[str, Any]]] = [None] * N
+        samples: List[Optional[np.ndarray]] = [None] * N
+        speech_flags = [True] * N
+
+        def _load(i):
+            if samples[i] is None:
+                seg = AudioSegment.from_file(all_audios[i],
+                                             target_sr=16000,
+                                             channel_selector="average")
+                samples[i] = seg.samples
+            return samples[i]
+
         asr_indices = []
         for i, (path, trans) in enumerate(zip(all_audios,
                                               all_transcriptions)):
             if not os.path.exists(path):
                 raise ValueError(f"Audio file {path} does not exist.")
-            seg = AudioSegment.from_file(path, target_sr=16000,
-                                         channel_selector="average")
-            samples.append(seg.samples)
-            speech = has_speech(seg.samples)
-            if speech and trans is None:
-                asr_indices.append(i)
+            if cache is not None:
+                keys[i] = cache.key(path)
+                centries[i] = cache.get(keys[i])
+            if centries[i] is not None:
+                speech = centries[i]["speech"]
+            else:
+                speech = has_speech(_load(i))
+            speech_flags[i] = speech
             if not speech:
                 all_transcriptions[i] = " "
+            elif trans is None:
+                hit_text = (centries[i] or {}).get("asr_text")
+                if hit_text is not None:
+                    all_transcriptions[i] = hit_text
+                else:
+                    # ASR runs even on a feature-cache hit when the entry
+                    # has no transcription yet (lazy fill)
+                    asr_indices.append(i)
         max_len = self.enc_cfg.expected_mel_frames * 160
-        audio_batch = np.zeros((len(samples), max_len), np.float32)
-        for i, s in enumerate(samples):
-            audio_batch[i, :min(len(s), max_len)] = s[:max_len]
+        asr_set = set(asr_indices)
+
+        def _batch(idxs, pad_to=None):
+            ab = np.zeros((pad_to or len(idxs), max_len), np.float32)
+            for j, i in enumerate(idxs):
+                s = _load(i)
+                ab[j, :min(len(s), max_len)] = s[:max_len]
+            return ab
 
         if asr_indices:
-            texts = self._asr(audio_batch[np.asarray(asr_indices)])
+            texts = self._asr(_batch(asr_indices))
             for i, text in zip(asr_indices, texts):
                 all_transcriptions[i] = text.strip()
+                if centries[i] is not None:
+                    centries[i]["asr_text"] = text.strip()
 
         # --- phase B: tokenize + expand + splice maps -------------------
         K = self.config.audio_token_size
@@ -493,11 +556,40 @@ class DeSTA25AudioModel:
             trans_ids[i, :len(ids)] = ids
 
         # --- phase C: device program ------------------------------------
-        mel = self._mel(audio_batch)
-        embeds, aux = self._prepare_jit(
-            self.params, jnp.asarray(input_ids), mel,
-            jnp.asarray(trans_ids), jnp.asarray(kind), jnp.asarray(aidx),
-            jnp.asarray(pos))
+        if cache is None:
+            # legacy fused path: ONE perception+splice program
+            mel = self._mel(_batch(list(range(N))))
+            embeds, aux = self._prepare_jit(
+                self.params, jnp.asarray(input_ids), mel,
+                jnp.asarray(trans_ids), jnp.asarray(kind),
+                jnp.asarray(aidx), jnp.asarray(pos))
+        else:
+            # cached path: perception over cache MISSES only (padded to a
+            # power of two so it compiles for a handful of shapes), then
+            # a splice-only program over the assembled per-clip features
+            miss = [i for i in range(N) if centries[i] is None]
+            if miss:
+                P = 1 << (len(miss) - 1).bit_length()
+                mel = self._mel(_batch(miss, pad_to=P))
+                feats_m, local_m = self._perception_jit(self.params, mel)
+                for j, i in enumerate(miss):
+                    entry = {"speech": speech_flags[i],
+                             "asr_text": (all_transcriptions[i]
+                                          if i in asr_set else None),
+                             "feats": feats_m[j],
+                             "local": (None if local_m is None
+                                       else local_m[j])}
+                    cache.put(keys[i], entry)
+                    centries[i] = entry
+            audio_feats = jnp.stack([e["feats"] for e in centries])
+            local_tokens = None
+            if centries[0]["local"] is not None:
+                local_tokens = jnp.stack([e["local"] for e in centries])
+            aux = (audio_feats, local_tokens)
+            embeds = self._splice_jit(
+                self.params, jnp.asarray(input_ids), audio_feats,
+                jnp.asarray(trans_ids), jnp.asarray(kind),
+                jnp.asarray(aidx), jnp.asarray(pos))
         if return_prompt_ids:
             # transcription token ids substituted at their splice
             # positions (kind==2) — the text the model is most likely to

@@ -100,7 +100,8 @@ class ContinuousBatchingEngine:
                  steps_per_tick: int = 8, on_token=None,
                  speculative_k: int = 0,
                  on_overflow: str = "error",
-                 pipeline_ticks: bool = False):
+                 pipeline_ticks: bool = False,
+                 audio_cache: int = 64):
         """n_slots=16 / steps_per_tick=8 defaults: measured on v5e-1 with
         the fused int8 decode kernel, in-kernel per-row cache writes and
         the top-k candidate sampler — 8 slots ~780 tok/s, 16 slots
@@ -143,6 +144,10 @@ class ContinuousBatchingEngine:
         rope position on-device too (their per-tick advance is
         data-dependent).  Latency per token rises by up to one tick."""
         self.model = model
+        # per-clip audio-feature cache (VAD/ASR/perception skipped on
+        # hits — multi-turn conversations resubmit the same clip every
+        # turn); 0 disables (models/feature_cache.py)
+        model.enable_audio_cache(audio_cache)
         self.on_token = on_token
         self.cfg = model.llm_cfg
         self.n_slots = n_slots
