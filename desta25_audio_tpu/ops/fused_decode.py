@@ -773,10 +773,12 @@ def _make_kernel(m: _Meta):
                     den = jnp.sum(e, axis=0, keepdims=True)
                     p = (e / den).astype(jnp.bfloat16)          # [Ta, 128]
                     # broadcast per-head probs back to lanes: [Ta, D]
+                    # f32 acc: Mosaic rejects bf16 matmul accumulators
+                    # on real TPU (interpret mode accepts them).
                     pf = jax.lax.dot_general(
                         p, imind[:], (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.bfloat16)
-                    ov = jnp.sum((pf * vabuf[slot]).astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+                    ov = jnp.sum(pf * vabuf[slot].astype(jnp.float32),
                                  axis=0, keepdims=True)         # [1, D]
                     iat[r:r + 1, :] = ov.astype(jnp.bfloat16)
                 if b + 2 < m.B:

@@ -35,8 +35,10 @@ print('TPU OK', float(y))" || { echo "TPU still wedged; aborting"; exit 1; }
 run orca_inject python scripts/ab_orca_inject.py 8 32
 
 # 2. bf16 fused decode A/B (gate the bf16 branch if slower than XLA 592)
-DESTA_FUSED_DECODE=0 run bf16_xla python scripts/bench_bf16_decode.py
-DESTA_FUSED_DECODE=1 run bf16_fused python scripts/bench_bf16_decode.py
+# NB: use `env VAR=… python` — `VAR=x run …` persists VAR after a bash
+# *function* call and would contaminate later queue steps.
+run bf16_xla env DESTA_FUSED_DECODE=0 python scripts/bench_bf16_decode.py
+run bf16_fused env DESTA_FUSED_DECODE=1 python scripts/bench_bf16_decode.py
 
 # 3. whole-encoder-stack kernel A/B (flip default only if it beats 1560)
 run enc_stack python scripts/ab_enc_stack.py 8 20
