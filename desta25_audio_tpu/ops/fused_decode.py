@@ -760,6 +760,7 @@ def _make_kernel(m: _Meta):
                 pltpu.make_async_copy(
                     va.at[l, b], vabuf.at[slot], vasem.at[slot]).wait()
                 kab = kabuf[slot].astype(jnp.float32)           # [Ta, D]
+                vab = vabuf[slot].astype(jnp.float32)           # [Ta, D]
                 for j in range(m.Kd):
                     r = b * m.Kd + j
                     qrow = iq[r:r + 1, :].astype(jnp.float32)   # [1, D]
@@ -778,7 +779,7 @@ def _make_kernel(m: _Meta):
                     pf = jax.lax.dot_general(
                         p, imind[:], (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    ov = jnp.sum(pf * vabuf[slot].astype(jnp.float32),
+                    ov = jnp.sum(pf * vab,
                                  axis=0, keepdims=True)         # [1, D]
                     iat[r:r + 1, :] = ov.astype(jnp.bfloat16)
                 if b + 2 < m.B:
