@@ -13,6 +13,7 @@ statistics, softmax, and matmul accumulations run in float32
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -220,6 +221,39 @@ def init_conv1d(key, in_ch: int, out_ch: int, kernel: int,
     return {"w": w, "b": b}
 
 
+def _conv1d_raw(x, w, stride: int, padding: int,
+                f32_acc: bool = True) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32 if f32_acc else None,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv1d_f32acc(x, w, stride: int, padding: int) -> jnp.ndarray:
+    return _conv1d_raw(x, w, stride, padding)
+
+
+def _conv1d_fwd(x, w, stride, padding):
+    return _conv1d_raw(x, w, stride, padding), (x, w)
+
+
+def _conv1d_bwd(stride, padding, res, ct):
+    # lax's conv transpose requires equal operand dtypes, so with bf16
+    # operands the f32 cotangent (from preferred_element_type) raises.
+    # Differentiate an operand-dtype-output conv instead: the forward keeps
+    # f32 accumulation; the backward accumulates in the operand dtype.
+    x, w = res
+    f = lambda x_, w_: _conv1d_raw(x_, w_, stride, padding, f32_acc=False)
+    _, vjp = jax.vjp(f, x, w)
+    return vjp(ct.astype(x.dtype))
+
+
+_conv1d_f32acc.defvjp(_conv1d_fwd, _conv1d_bwd)
+
+
 def conv1d(p: Params, x: jnp.ndarray, stride: int = 1,
            padding: int = 0) -> jnp.ndarray:
     """x: [B, T, C_in] -> [B, T', C_out]."""
@@ -227,12 +261,7 @@ def conv1d(p: Params, x: jnp.ndarray, stride: int = 1,
     # jnp.dot's promotion) — promote for the mixed bf16-act / f32-param
     # training case, return in the activation dtype like linear()
     ct = jnp.promote_types(x.dtype, p["w"].dtype)
-    y = jax.lax.conv_general_dilated(
-        x.astype(ct), p["w"].astype(ct), window_strides=(stride,),
-        padding=[(padding, padding)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    )
+    y = _conv1d_f32acc(x.astype(ct), p["w"].astype(ct), stride, padding)
     y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
 

@@ -130,3 +130,34 @@ def test_decoder_cache_matches_full(tiny, rng):
     inc = np.stack([np.asarray(x) for x in step_logits], axis=1)
     ref = np.asarray(full_logits[:, 3:6])
     assert np.max(np.abs(inc - ref)) < 1e-4
+
+
+def test_conv1d_bf16_backward():
+    """bf16-param conv1d must be differentiable (grad-wrt-mel / unfrozen
+    whisper).  lax's conv transpose requires equal operand dtypes, which the
+    f32-accumulated forward used to violate — fixed via custom_vjp in
+    ops/core.py (reference trains whisper frozen, but ad-hoc grads shouldn't
+    crash)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from desta25_audio_tpu.ops import core
+
+    k = jax.random.PRNGKey(0)
+    pf = core.init_conv1d(k, 4, 8, 3, dtype=jnp.float32)
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), pf)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 4), jnp.float32)
+
+    def loss(p, x):
+        return core.conv1d(p, x, stride=2, padding=1).astype(jnp.float32).sum()
+
+    gf_x = jax.grad(loss, argnums=1)(pf, x)
+    gb_x = jax.grad(loss, argnums=1)(pb, x.astype(jnp.bfloat16))
+    assert gb_x.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(gf_x), np.asarray(gb_x, dtype=np.float32),
+        rtol=0, atol=2e-2 * float(np.max(np.abs(gf_x))))
+
+    gb_p = jax.grad(loss, argnums=0)(pb, x.astype(jnp.bfloat16))
+    assert gb_p["w"].dtype == jnp.bfloat16 and gb_p["b"].dtype == jnp.bfloat16
