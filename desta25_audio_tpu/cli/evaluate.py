@@ -20,6 +20,8 @@ import os
 
 
 def load_items(path: str, data_root: str = ""):
+    from desta25_audio_tpu.utils.misc import resolve_filepath
+    path = resolve_filepath(path)  # URL manifests (simple_dataset.py:500)
     items = []
     if path.endswith(".jsonl"):
         with open(path) as f:

@@ -60,7 +60,12 @@ class DataConfig:
 
 
 def _resolve_audio_filepath(path: str) -> str:
-    """Fallback to .wav extension (simple_dataset.py:103-114)."""
+    """Fallback to .wav extension (simple_dataset.py:103-114); URLs are
+    downloaded to the local cache first (lulutils resolve_filepath
+    behavior, simple_dataset.py:20)."""
+    if path.startswith(("http://", "https://")):
+        from desta25_audio_tpu.utils.misc import resolve_filepath
+        return resolve_filepath(path)
     if os.path.exists(path):
         return path
     alt = path + ".wav"
@@ -86,9 +91,12 @@ class AudioTextDataset:
         self.skip_reasons = {"empty_prompt": 0, "audio_file_not_found": 0,
                              "no_audio_markers": 0, "empty_response": 0}
 
+        from desta25_audio_tpu.utils.misc import resolve_filepath
         rows: List[Dict[str, Any]] = []
         for path in data_cfg.manifest_filepaths:
-            with open(path) as f:
+            # URL manifests download to the local cache
+            # (reference simple_dataset.py:365 via lulutils)
+            with open(resolve_filepath(path)) as f:
                 for line in f:
                     line = line.strip()
                     if line:

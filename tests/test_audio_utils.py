@@ -102,3 +102,41 @@ def test_resolve_filepath(tmp_path):
     assert resolve_filepath(p) == p
     with pytest.raises(FileNotFoundError):
         resolve_filepath(str(tmp_path / "missing.txt"))
+
+def test_resolve_filepath_url_localhost(tmp_path, tone):
+    """URL manifests/audio download to the cache (lulutils resolve_filepath
+    behavior, reference simple_dataset.py:20,365) — exercised against a
+    localhost HTTP server, no egress needed."""
+    import http.server
+    import json
+    import threading
+
+    _, sig = tone
+    serve_dir = tmp_path / "srv"
+    serve_dir.mkdir()
+    write_wav(str(serve_dir / "clip.wav"), sig, 16000)
+    (serve_dir / "manifest.jsonl").write_text(
+        json.dumps({"audio_filepath": "clip.wav", "text": "hi"}) + "\n")
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(serve_dir), **kw)
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        cache = str(tmp_path / "cache")
+        url = f"http://127.0.0.1:{port}/manifest.jsonl"
+        local = resolve_filepath(url, cache_dir=cache)
+        assert os.path.exists(local)
+        assert json.loads(open(local).read())["text"] == "hi"
+        # second resolve hits the cache (no re-download)
+        assert resolve_filepath(url, cache_dir=cache) == local
+
+        from desta25_audio_tpu.data.dataset import _resolve_audio_filepath
+        wav_url = f"http://127.0.0.1:{port}/clip.wav"
+        wav_local = _resolve_audio_filepath(wav_url)
+        seg = AudioSegment.from_file(wav_local)
+        assert seg.num_samples == len(sig)
+    finally:
+        httpd.shutdown()
