@@ -5,20 +5,22 @@ boolean gate: "does this clip contain speech?"  (modeling_desta25.py:
 1484-1488, 1562-1568 — non-speech clips get transcription " "; speech
 clips without user transcription go through ASR.)
 
-Offline default here is an energy+spectral VAD with hangover smoothing; if
-a silero ONNX model is available (``DESTA_SILERO_ONNX`` env or explicit
-path) and onnxruntime is importable, it is used instead.  VAD gates host
-control flow, not device math, so it stays off the TPU.
+Offline default here is an energy+spectral VAD with hangover smoothing; a
+real silero model takes over when staged (``scripts/fetch_silero.py``):
+``DESTA_SILERO_JIT`` (TorchScript export — preferred, torch is in-image)
+or ``DESTA_SILERO_ONNX`` (needs onnxruntime).  VAD gates host control
+flow, not device math, so it stays off the TPU.
 
 Failure economics (why the heuristic is deliberately RECALL-biased, and
 tested so on the reference's real clips — tests/test_vad_real_clips.py):
 a false "speech" label costs one wasted ASR pass whose junk transcript
 the LLM ignores; a false "non-speech" label silently replaces a real
 transcription with " " (modeling_desta25.py:1567-1568) — data
-corruption.  Real silero validation remains env-blocked here (no
-network, no onnxruntime, no cached export); when deploying with real
-weights, set DESTA_SILERO_ONNX and the SileroOnnxVAD streaming loop
-below takes over with reference-matching 512-sample frames.
+corruption.  Real silero validation remains env-blocked here (no network
+egress, no cached export on the image — searched); VAD day is de-risked
+instead: ``scripts/fetch_silero.py`` is a one-command pinned
+fetch-and-verify, and both backends' streaming loops are contract-tested
+(tests/test_vad.py) with reference-matching 512-sample frames.
 """
 
 from __future__ import annotations
@@ -85,6 +87,22 @@ def energy_vad(audio: np.ndarray, sr: int = 16000,
     return segments
 
 
+def _probs_to_segments(probs: np.ndarray, threshold: float = 0.5
+                       ) -> List[Tuple[int, int]]:
+    """Shared prob-stream -> (start_sample, end_sample) thresholding."""
+    segs: List[Tuple[int, int]] = []
+    start = None
+    for i, p in enumerate(probs):
+        if p >= threshold and start is None:
+            start = i
+        elif p < threshold and start is not None:
+            segs.append((start * FRAME, i * FRAME))
+            start = None
+    if start is not None:
+        segs.append((start * FRAME, len(probs) * FRAME))
+    return segs
+
+
 class SileroOnnxVAD:
     """silero-vad via onnxruntime when available (streaming state model)."""
 
@@ -104,33 +122,66 @@ class SileroOnnxVAD:
         return np.asarray(probs)
 
     def get_speech_timestamps(self, audio, sr=16000, threshold=0.5):
-        probs = self.speech_probs(audio, sr)
-        segs = []
-        start = None
-        for i, p in enumerate(probs):
-            if p >= threshold and start is None:
-                start = i
-            elif p < threshold and start is not None:
-                segs.append((start * FRAME, i * FRAME))
-                start = None
-        if start is not None:
-            segs.append((start * FRAME, len(probs) * FRAME))
-        return segs
+        return _probs_to_segments(self.speech_probs(audio, sr), threshold)
 
 
-_silero: Optional[SileroOnnxVAD] = None
+class SileroJitVAD:
+    """silero-vad via its published TorchScript export.
+
+    torch (CPU) is in the image while onnxruntime is not, so this is the
+    preferred real-silero backend: ``scripts/fetch_silero.py`` stages the
+    pinned ``silero_vad.jit`` and ``DESTA_SILERO_JIT`` points here.  The
+    streaming contract matches the reference's torch.hub usage
+    (modeling_desta25.py:1484-1488): 512-sample frames at 16 kHz, internal
+    recurrent state reset per clip."""
+
+    def __init__(self, model_path: str):
+        import torch  # gated import
+        self._torch = torch
+        self.model = torch.jit.load(model_path, map_location="cpu")
+        self.model.eval()
+
+    def speech_probs(self, audio: np.ndarray, sr: int = 16000) -> np.ndarray:
+        torch = self._torch
+        if hasattr(self.model, "reset_states"):
+            self.model.reset_states()
+        probs = []
+        with torch.no_grad():
+            for frame in _frame_signal(audio):
+                out = self.model(torch.from_numpy(frame[None]), sr)
+                probs.append(float(np.asarray(out).reshape(-1)[0]))
+        return np.asarray(probs)
+
+    def get_speech_timestamps(self, audio, sr=16000, threshold=0.5):
+        return _probs_to_segments(self.speech_probs(audio, sr), threshold)
+
+
+_silero = None
+
+
+def _load_silero():
+    """Resolve the configured silero backend once (jit > onnx > None)."""
+    jit_path = os.environ.get("DESTA_SILERO_JIT")
+    if jit_path and os.path.exists(jit_path):
+        try:
+            return SileroJitVAD(jit_path)
+        except Exception:
+            pass
+    onnx_path = os.environ.get("DESTA_SILERO_ONNX")
+    if onnx_path and os.path.exists(onnx_path):
+        try:
+            return SileroOnnxVAD(onnx_path)
+        except Exception:
+            pass
+    return None
 
 
 def get_speech_timestamps(audio: np.ndarray, sr: int = 16000
                           ) -> List[Tuple[int, int]]:
-    """Speech segments; silero-ONNX when configured, energy VAD otherwise."""
+    """Speech segments; real silero when configured, energy VAD otherwise."""
     global _silero
-    path = os.environ.get("DESTA_SILERO_ONNX")
-    if path and _silero is None and os.path.exists(path):
-        try:
-            _silero = SileroOnnxVAD(path)
-        except Exception:
-            _silero = None
+    if _silero is None:
+        _silero = _load_silero()
     if _silero is not None:
         return _silero.get_speech_timestamps(audio, sr)
     return energy_vad(audio, sr)

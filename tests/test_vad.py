@@ -114,3 +114,51 @@ def test_silero_onnx_path_with_mocked_runtime(monkeypatch, tmp_path):
     segs2 = get_speech_timestamps(sig, sr)
     assert segs2 == [(4 * FRAME, 10 * FRAME)]
     monkeypatch.setattr(vad_mod, "_silero", None)  # do not leak the mock
+
+def test_silero_jit_backend_with_scripted_model(monkeypatch, tmp_path):
+    """SileroJitVAD contract: torch.jit.load round-trip, 512-sample frame
+    streaming, per-clip reset_states, thresholding, and env dispatch —
+    against a real TorchScript module implementing silero's interface
+    (scripts/fetch_silero.py stages the real one; VERDICT r3 next #7)."""
+    torch = pytest.importorskip("torch")
+
+    class FakeSilero(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.calls = torch.zeros(1)
+
+        @torch.jit.export
+        def reset_states(self):
+            self.calls = torch.zeros(1)
+
+        def forward(self, x: torch.Tensor, sr: int) -> torch.Tensor:
+            assert sr == 16000
+            assert x.shape[1] == 512
+            self.calls = self.calls + 1
+            loud = (x.abs().mean() > 0.01).float()
+            # state-dependent output: without reset_states a second pass
+            # over the same clip would differ
+            return loud * torch.clamp(0.5 + 0.01 * self.calls, max=1.0)
+
+    path = str(tmp_path / "silero_vad.jit")
+    torch.jit.save(torch.jit.script(FakeSilero()), path)
+
+    from desta25_audio_tpu.audio.vad import SileroJitVAD
+
+    sr = 16000
+    sig = np.zeros(sr, np.float32)
+    sig[4 * FRAME:10 * FRAME] = 0.5
+
+    vad = SileroJitVAD(path)
+    p1 = vad.speech_probs(sig, sr)
+    p2 = vad.speech_probs(sig, sr)
+    np.testing.assert_array_equal(p1, p2)  # reset_states honored
+    segs = vad.get_speech_timestamps(sig, sr)
+    assert segs == [(4 * FRAME, 10 * FRAME)]
+
+    # env dispatch prefers the jit backend
+    import desta25_audio_tpu.audio.vad as vad_mod
+    monkeypatch.setattr(vad_mod, "_silero", None)
+    monkeypatch.setenv("DESTA_SILERO_JIT", path)
+    assert get_speech_timestamps(sig, sr) == [(4 * FRAME, 10 * FRAME)]
+    monkeypatch.setattr(vad_mod, "_silero", None)  # do not leak
