@@ -100,7 +100,7 @@ class ContinuousBatchingEngine:
                  steps_per_tick: int = 8, on_token=None,
                  speculative_k: int = 0,
                  on_overflow: str = "error",
-                 pipeline_ticks: bool = False,
+                 pipeline_ticks: bool = True,
                  audio_cache: int = 64):
         """n_slots=16 / steps_per_tick=8 defaults: measured on v5e-1 with
         the fused int8 decode kernel, in-kernel per-row cache writes and
@@ -130,7 +130,10 @@ class ContinuousBatchingEngine:
         side and marks the request ``truncated`` in its result — never
         silent (VERDICT r2 weak #2).
 
-        pipeline_ticks=True runs ONE-TICK-LOOKAHEAD dispatch: tick N+1
+        pipeline_ticks (DEFAULT-ON since r4: +44% under load — 349 ->
+        502.8 tok/s at 8 slots, scripts/bench_serving_load.py with/
+        without --pipeline on v5e-1) runs ONE-TICK-LOOKAHEAD dispatch:
+        tick N+1
         is dispatched immediately, chained on tick N's device-resident
         last tokens, and tick N's results are fetched afterwards — the
         host sync (tunnel RTT + token bookkeeping, ~30% of a loaded
@@ -607,12 +610,30 @@ class ContinuousBatchingEngine:
         if req.final_text is not None:
             self.finished_info[req.rid]["text"] = req.final_text
 
+    def flush(self) -> List[int]:
+        """Materialize the in-flight pipelined tick (if any) WITHOUT
+        dispatching a new one, returning request ids it finished.  The
+        chained device state is untouched, so a subsequent step() resumes
+        the identical trajectory.  No-op for sequential engines."""
+        if self._inflight is None:
+            return []
+        kind, *payload = self._inflight
+        self._inflight = None
+        if kind == "spec":
+            outs, ms, slot_reqs = payload
+            return self._consume_spec_tick(
+                slot_reqs, np.asarray(outs), np.asarray(ms),
+                self.slot_pos.copy())
+        return self._consume_tick(*payload)
+
     def cancel(self, rid: int) -> bool:
         """Cancel a queued or running request.  Tokens generated so far
-        are kept in the result with finish_reason="cancelled"; a slot
-        freed mid-tick is safe (the in-flight tick's writes for it are
-        discarded as a zombie, same as slot reuse).  Returns False when
-        the id is unknown or already finished."""
+        are kept in the result with finish_reason="cancelled" (the
+        in-flight pipelined tick is flushed first so "so far" includes
+        it); a slot freed mid-tick is safe (the in-flight tick's writes
+        for it are discarded as a zombie, same as slot reuse).  Returns
+        False when the id is unknown or already finished."""
+        self.flush()
         for i, r in enumerate(self.queue):
             if r.rid == rid:
                 self.queue.pop(i)
@@ -804,6 +825,17 @@ class ContinuousBatchingEngine:
         outs = ms = None
         K = self.steps_per_tick
         write_pos = self.slot_pos.copy()
+
+        # SNAPSHOT every host-mutable numpy array handed to a dispatch.
+        # jnp.asarray on the CPU backend can alias the numpy buffer
+        # zero-copy, and with async dispatch the program may read it
+        # AFTER this tick's optimistic advance / admission mutates it —
+        # nondeterministic greedy trajectories under pipeline_ticks
+        # (1-in-4 flake in tests/test_serving.py until r4).  .copy() on
+        # these few-KB arrays is noise next to a tick.
+        def snap(a):
+            return jnp.asarray(a.copy())
+
         if active and self.speculative_k:
             # spec tick: K verify steps, each accepting 1..Kd tokens per
             # slot; history buffers ride on-device across ticks.  The
@@ -817,17 +849,17 @@ class ContinuousBatchingEngine:
                 pos_f = self._spec_jit(
                     self.model.params["llm"], self._inject_params,
                     self.cache,
-                    self._cur_dev if pipe else jnp.asarray(self.cur_tok),
+                    self._cur_dev if pipe else snap(self.cur_tok),
                     self._pos_dev if pipe
-                    else jnp.asarray(self.slot_rope),
-                    self._ci_dev if pipe else jnp.asarray(write_pos),
-                    jnp.asarray(self.slot_mask),
+                    else snap(self.slot_rope),
+                    self._ci_dev if pipe else snap(write_pos),
+                    snap(self.slot_mask),
                     self.inject_k, self.inject_v,
-                    jnp.asarray(self.inject_on),
-                    jnp.asarray(self.slot_decode_start), self.hist,
-                    self.hlen, jnp.asarray(self.slot_temp),
-                    jnp.asarray(self.slot_top_p),
-                    jnp.asarray(self.slot_sample), self._next_key(),
+                    snap(self.inject_on),
+                    snap(self.slot_decode_start), self.hist,
+                    self.hlen, snap(self.slot_temp),
+                    snap(self.slot_top_p),
+                    snap(self.slot_sample), self._next_key(),
                     sample_positions=nsp)
             if pipe:
                 self._cur_dev, self._ci_dev, self._pos_dev = \
@@ -839,15 +871,15 @@ class ContinuousBatchingEngine:
             # mask bits).  Pipelined mode chains on the device-resident
             # token vector instead of the host copy.
             toks_in = (self._cur_dev if self.pipeline_ticks
-                       else jnp.asarray(self.cur_tok))
+                       else snap(self.cur_tok))
             outs, self.cache = self._decode_jit(
                 self.model.params["llm"], self._inject_params, self.cache,
-                toks_in, jnp.asarray(self.slot_rope),
-                jnp.asarray(write_pos), jnp.asarray(self.slot_mask),
+                toks_in, snap(self.slot_rope),
+                snap(write_pos), snap(self.slot_mask),
                 self.inject_k, self.inject_v,
-                jnp.asarray(self.inject_on),
-                jnp.asarray(self.slot_temp), jnp.asarray(self.slot_top_p),
-                jnp.asarray(self.slot_sample), self._next_key())
+                snap(self.inject_on),
+                snap(self.slot_temp), snap(self.slot_top_p),
+                snap(self.slot_sample), self._next_key())
 
         if self.pipeline_ticks:
             new_inflight = None
@@ -1037,7 +1069,10 @@ class ContinuousBatchingEngine:
         (on_overflow="truncate") or the KV cache filled before the
         request hit eos/budget — truncation is always surfaced, never
         silent.  A request finished by a user stop sequence / stop token
-        carries text trimmed at the match (the stop itself excluded)."""
+        carries text trimmed at the match (the stop itself excluded).
+        Flushes the in-flight pipelined tick first, so every dispatched
+        tick's outcome is visible."""
+        self.flush()
         tk = self.model.tokenizer
         return {
             rid: {**info,
