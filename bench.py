@@ -405,7 +405,12 @@ def bench_serving(rtt, lp, llm_cfg):
     """Engine-shaped serving throughput (VERDICT r2 weak #7/#8): per-row
     cache indices, K=8 decode steps per tick, mixed greedy/sampled slots
     — mirrors serve/engine._decode_steps so the driver captures the
-    serving number without trusting docs."""
+    serving number without trusting docs.
+
+    Warmup-hardened (VERDICT r3 weak #2: the 733-vs-857 spread): 5
+    forced-fetch warmups absorb remote-compile bleed, then the MEDIAN of
+    9 ticks is reported (best-of-N rode lucky tunnel RTT; every doc now
+    quotes this number and nothing else)."""
     import sys
 
     from desta25_audio_tpu.generate.decode import sample_token_dynamic
@@ -449,17 +454,19 @@ def bench_serving(rtt, lp, llm_cfg):
         float(s)
         print(f"serving b{B} compile {time.time()-t0:.1f}s",
               file=sys.stderr)
-        for _ in range(3):  # forced-fetch warmups (remote compile bleed)
+        for _ in range(5):  # forced-fetch warmups (remote compile bleed)
             cache, s = f(lp, cache, toks0, ci0, mask0, key)
             float(s)
-        best = None
-        for _ in range(4):
+        samples = []
+        for _ in range(9):
             t0 = time.time()
             cache, s = f(lp, cache, toks0, ci0, mask0, key)
             float(s)
-            dt = time.time() - t0 - rtt
-            best = dt if best is None else min(best, dt)
-        results[f"serving_tok_s_{B}slots"] = round(B * K / best, 1)
+            samples.append(time.time() - t0 - rtt)
+        samples.sort()
+        med = samples[len(samples) // 2]
+        results[f"serving_tok_s_{B}slots"] = round(B * K / med, 1)
+        results[f"serving_tick_ms_{B}slots_p50"] = round(med * 1e3, 2)
     return results
 
 
@@ -592,6 +599,60 @@ def bench_orca_decode(rtt):
             dt = time.time() - t0 - rtt
             best = dt if best is None else min(best, dt)
         out[keyname] = round(B * STEPS / best, 1)
+
+    # engine-shaped ORCA serving tick (VERDICT r3 next #5): per-row cache
+    # indices, K=8 steps/tick, mixed greedy/sampled slots, in-kernel
+    # injection — the 894-tok/s step win pulled through the serving shape.
+    from desta25_audio_tpu.generate.decode import sample_token_dynamic
+    K = 8
+    ci0 = (64 + 16 * jnp.arange(B, dtype=jnp.int32)) % 192
+    mask0 = (jnp.arange(Tmax)[None, :] < ci0[:, None]).astype(jnp.int32)
+    temp = jnp.full((B,), 0.7, jnp.float32)
+    top_p = jnp.full((B,), 0.9, jnp.float32)
+    do_sample = (jnp.arange(B) % 2 == 0)
+    t_idx = jnp.arange(Tmax)
+    fspec = dict(params=xp, k=ka, v=va, ta_real=TA, heads=H,
+                 on=jnp.ones((B,), jnp.float32))
+
+    def tick(params, cache, toks, ci, mask, key):
+        def body(carry, s):
+            cur, cache, ci, mask = carry
+            step_mask = mask | (t_idx[None, :] == ci[:, None]).astype(
+                jnp.int32)
+            lg, cache, _ = jllm.llm_apply(
+                params, llm_cfg, input_ids=cur[:, None],
+                attention_mask=step_mask, positions=ci[:, None],
+                cache=cache, cache_index=ci, fused_injection=fspec)
+            nxt = sample_token_dynamic(
+                lg[:, -1].astype(jnp.float32),
+                jax.random.fold_in(key, s), temp, top_p, do_sample)
+            return (nxt, cache, ci + 1, step_mask), nxt
+
+        (cur, cache, ci, mask), outs = jax.lax.scan(
+            body, (toks, cache, ci, mask), jnp.arange(K))
+        return cache, jnp.sum(outs)
+
+    f = jax.jit(tick, donate_argnums=(1,))
+    cache = jllm.init_kv_cache(llm_cfg, B, Tmax, dtype=jnp.bfloat16)
+    toks0 = jnp.ones((B,), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    cache, s = f(lp, cache, toks0, ci0, mask0, key)
+    float(s)
+    print(f"orca serving compile {time.time()-t0:.1f}s", file=sys.stderr)
+    for _ in range(5):
+        cache, s = f(lp, cache, toks0, ci0, mask0, key)
+        float(s)
+    samples = []
+    for _ in range(9):
+        t0 = time.time()
+        cache, s = f(lp, cache, toks0, ci0, mask0, key)
+        float(s)
+        samples.append(time.time() - t0 - rtt)
+    samples.sort()
+    med = samples[len(samples) // 2]
+    out["orca_serving_tok_s_8slots"] = round(B * K / med, 1)
+    out["orca_serving_tick_ms_8slots_p50"] = round(med * 1e3, 2)
     return out
 
 

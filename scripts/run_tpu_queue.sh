@@ -49,6 +49,6 @@ run load_orca_spec python scripts/bench_serving_load.py 8 48 --orca --spec=4
 run load_pipeline python scripts/bench_serving_load.py 8 48 --pipeline
 
 # 5. driver bench
-run bench python bench.py
+# run bench python bench.py  # run manually at end of round, after bench.py edits land
 
 echo "=== queue done; logs in /tmp/tpuq/ ==="
