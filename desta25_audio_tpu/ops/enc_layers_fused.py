@@ -9,8 +9,15 @@ each kernel boundary (~0.4-0.5 ms/layer at b8) and re-pays pipeline fill
 per launch.  This kernel keeps the hidden state in a VMEM scratch across
 ALL layers and batch rows:
 
-- ``grid = (L, B)`` — sequential grid steps on one core; step (l, b)
-  advances batch row b through layer l.  The residual stream lives in
+- ``grid = (L, B, G)`` with G = D // 128 lane groups — sequential grid
+  steps on one core; step (l, b, g) runs lane-group g's attention for
+  batch row b in layer l (g == 0 additionally does LN1 + the q/k/v
+  projections for ALL groups; g == G-1 finishes with o-proj + residual
+  + LN2 + FFN).  Putting the group axis on the GRID instead of an
+  unrolled body loop is what makes Mosaic compile this kernel: with
+  groups unrolled, a whole layer's score volume became
+  register-allocator spill slots (the r3 "Invalid input layout" /
+  tpu_compile_helper failures).  The residual stream lives in
   ``hbuf [B, Tp, D]`` (b8 whisper-large-v3: 30.8 MB) and never touches
   HBM between layers; taps and the final hidden are DMA'd out at their
   layers.
@@ -61,8 +68,9 @@ from .enc_ffn import _gelu_f32
 
 _LANES = 128
 _HBUF_CAP = 40 * 1024 * 1024   # VMEM bytes for the resident hidden state
-_F_CHUNK = 512                 # fc hidden-dim chunk (ops/enc_ffn.py uses
-#                                256-512; 512 keeps the chunk loop short)
+_F_CHUNK = 1280                # fc hidden-dim chunk (matches the proven
+#                                ops/enc_ffn.py chunk_f; fewer unrolled
+#                                chunk iterations = fewer spill slots)
 
 
 class _Meta(NamedTuple):
@@ -84,7 +92,7 @@ def fused_enc_supported(B: int, T: int, D: int, F: int, H: int,
         return False
     if dtype != jnp.bfloat16:
         return False
-    if D % _LANES or F % _F_CHUNK:
+    if D % _LANES or F % min(_F_CHUNK, F):
         return False
     dh = D // H
     if _LANES % dh:
@@ -107,25 +115,27 @@ def _make_kernel(m: _Meta):
     hpg = _LANES // dh          # heads per 128-lane group
     scale = 1.0 / math.sqrt(dh)
     folded = math.log2(scale) == round(math.log2(scale))
-    n_chunks = m.F // _F_CHUNK
+    f_chunk = min(_F_CHUNK, m.F)
+    n_chunks = m.F // f_chunk
     n_taps = len(m.taps)
 
     def kernel(*refs):
         (ln1s, ln1b, ln2s, ln2b, bq, bv, bo, b1, b2,
          x, wq, wk, wv, wo, f1, f2,
          hid_out, taps_out,
-         hbuf, qs, ks, vs, facc,
+         hbuf, qs, ks, vs,
          wqb, wkb, wvb, wob, f1b, f2b,
          insem, wsem, fsem, osem) = refs
 
         l = pl.program_id(0)
         b = pl.program_id(1)
+        g = pl.program_id(2)
 
         def cp(src, dst, sem):
             return pltpu.make_async_copy(src, dst, sem)
 
         # load the whole batch's hidden stream once
-        @pl.when(jnp.logical_and(l == 0, b == 0))
+        @pl.when(jnp.logical_and(jnp.logical_and(l == 0, b == 0), g == 0))
         def _():
             for bb in range(m.B):
                 cp(x.at[bb], hbuf.at[bb], insem.at[bb]).start()
@@ -135,7 +145,7 @@ def _make_kernel(m: _Meta):
         # layer weights: fetched once per layer, reused for every row.
         # Single-buffered — the ~39 MB fetch (~48 us) is ~2% of the
         # layer's ~3 ms of compute at b8.
-        @pl.when(b == 0)
+        @pl.when(jnp.logical_and(b == 0, g == 0))
         def _():
             cp(wq.at[l], wqb, wsem.at[0]).start()
             cp(wk.at[l], wkb, wsem.at[1]).start()
@@ -156,100 +166,127 @@ def _make_kernel(m: _Meta):
             return (y * s_ref[0].astype(jnp.float32)
                     + b_ref[0].astype(jnp.float32))
 
-        def proj(src_bf16, w_ref, bias_ref):
-            p = jnp.dot(src_bf16, w_ref[:],
-                        preferred_element_type=jnp.float32)
-            if bias_ref is not None:
-                p = p + bias_ref[0].astype(jnp.float32)
-            return p.astype(jnp.bfloat16)
+        # Row blocks bound live f32 values to [rb, D]; the GROUP axis
+        # rides the grid (see below) so only ONE group's [rb, Tp] scores
+        # exist per grid step.  With groups unrolled in the body the
+        # score volume of a whole layer (H * Tp^2 f32 ~ 181 MB at
+        # large-v3) became register-allocator spill slots — the r3/r4
+        # compile failures.  Mosaic does not coalesce spill slots across
+        # unrolled iterations; the grid is the spill-bounding tool.
+        rb_rows = min(512, m.Tp)
 
-        h = hbuf[b]                                   # [Tp, D] bf16
-        x1 = ln(h, ln1s, ln1b).astype(jnp.bfloat16)
-        qs[:] = proj(x1, wqb, bq)
-        ks[:] = proj(x1, wkb, None)
-        vs[:] = proj(x1, wvb, bv)
+        # ---- phase A (g == 0): LN1 + q/k/v projections ----------------
+        # q/k/v scratches are [G, Tp, 128]: the attention step indexes
+        # its group on the LEADING axis (dynamic leading-axis indexing is
+        # legal; dynamic LANE slicing is not).
+        @pl.when(g == 0)
+        def _():
+            for r0 in range(0, m.Tp, rb_rows):
+                nb = min(rb_rows, m.Tp - r0)
+                hb = hbuf[b, r0:r0 + nb]              # [nb, D] bf16
+                x1 = ln(hb, ln1s, ln1b).astype(jnp.bfloat16)
+                for gg in range(groups):
+                    gsl = slice(gg * _LANES, (gg + 1) * _LANES)
+                    qs[gg, r0:r0 + nb] = (
+                        jnp.dot(x1, wqb[:, gsl],
+                                preferred_element_type=jnp.float32)
+                        + bq[0, 0, gsl].astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
+                    ks[gg, r0:r0 + nb] = jnp.dot(
+                        x1, wkb[:, gsl],
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.bfloat16)
+                    vs[gg, r0:r0 + nb] = (
+                        jnp.dot(x1, wvb[:, gsl],
+                                preferred_element_type=jnp.float32)
+                        + bv[0, 0, gsl].astype(jnp.float32)
+                    ).astype(jnp.bfloat16)
 
-        # ---- packed attention (ops/enc_attention.py design) ----------
-        # q rows are processed in 512-row blocks: full-Tp scores would
-        # keep two [Tp, Tp] f32 values live under the head pipeline
-        # (~18 MB at large-v3) on top of the resident scratches —
-        # row-blocking caps that at ~6 MB with the same math.
+        # ---- packed attention for THIS grid step's group --------------
         bq_rows = min(512, m.Tp)
         vrow = jax.lax.broadcasted_iota(jnp.int32, (m.Tp, _LANES), 0)
-        for g in range(groups):
-            sl = slice(g * _LANES, (g + 1) * _LANES)
-            kg = ks[:, sl]
-            vg = jnp.where(vrow < m.T, vs[:, sl], 0).astype(jnp.bfloat16)
-            for r0 in range(0, m.Tp, bq_rows):
-                nb = min(bq_rows, m.Tp - r0)
-                qg = qs[r0:r0 + nb, sl]
-                if folded:
-                    qg = qg * jnp.asarray(scale, qg.dtype)
-                col = jax.lax.broadcasted_iota(jnp.int32, (nb, m.Tp), 1)
-                valid = col < m.T
+        colmask = (jax.lax.broadcasted_iota(jnp.int32, (1, m.Tp), 1)
+                   < m.T)
+        kg = ks[g]                                     # [Tp, 128] bf16
+        vg = jnp.where(vrow < m.T, vs[g], 0).astype(jnp.bfloat16)
+        for r0 in range(0, m.Tp, bq_rows):
+            nb = min(bq_rows, m.Tp - r0)
+            qg = qs[g, r0:r0 + nb]
+            if folded:
+                qg = qg * jnp.asarray(scale, qg.dtype)
 
-                def score(hh):
-                    lo = hh * dh
-                    s = jax.lax.dot_general(
-                        qg[:, lo:lo + dh], kg[:, lo:lo + dh],
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    if not folded:
-                        s = s * scale
-                    return jnp.where(valid, s, -1e30)
+            def score(hh):
+                lo = hh * dh
+                s = jax.lax.dot_general(
+                    qg[:, lo:lo + dh], kg[:, lo:lo + dh],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if not folded:
+                    s = s * scale
+                return jnp.where(colmask, s, -1e30)
 
-                ss = [None] * hpg
-                ss[0] = score(0)
-                outs = []
-                for hh in range(hpg):
-                    if hh + 1 < hpg:
-                        ss[hh + 1] = score(hh + 1)
-                    s = ss[hh]
-                    mx = jnp.max(s, axis=-1, keepdims=True)
-                    e = jnp.exp(s - mx)
-                    den = jnp.sum(e, axis=-1, keepdims=True)
-                    o = jax.lax.dot_general(
-                        e.astype(jnp.bfloat16),
-                        vg[:, hh * dh:(hh + 1) * dh],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    outs.append(o / den)
-                # this block's q lanes are dead: reuse them for the output
-                qs[r0:r0 + nb, sl] = jnp.concatenate(
-                    outs, axis=-1).astype(jnp.bfloat16)
+            outs = []
+            for hh in range(hpg):
+                s = score(hh)
+                mx = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - mx)
+                den = jnp.sum(e, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    e.astype(jnp.bfloat16),
+                    vg[:, hh * dh:(hh + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                outs.append(o / den)
+            # this block's q lanes are dead: reuse them for the output
+            qs[g, r0:r0 + nb] = jnp.concatenate(
+                outs, axis=-1).astype(jnp.bfloat16)
 
-        h = h + proj(qs[:], wob, bo)                  # o proj + residual
-        x2 = ln(h, ln2s, ln2b).astype(jnp.bfloat16)
-
-        # ---- chunked FFN (ops/enc_ffn.py design) ---------------------
-        for c in range(n_chunks):
-            cs = slice(c * _F_CHUNK, (c + 1) * _F_CHUNK)
-            fh = jnp.dot(x2, f1b[:, cs],
-                         preferred_element_type=jnp.float32)
-            fh = fh + b1[0][:, cs].astype(jnp.float32)
-            g2 = _gelu_f32(fh).astype(jnp.bfloat16)
-            p = jnp.dot(g2, f2b[cs, :],
-                        preferred_element_type=jnp.float32)
-            if c == 0:
-                facc[:] = p
-            else:
-                facc[:] += p
-        ffn = (facc[:] + b2[0].astype(jnp.float32)).astype(jnp.bfloat16)
-        h = h + ffn
-        hbuf[b] = h
-
-        # tap / final emission (post-layer, pre-final-LN — reference
-        # inline connector inputs, modeling_desta25.py:575-598)
-        for ti, tl in enumerate(m.taps):
-            @pl.when(l == tl)
-            def _(ti=ti):
-                cp(hbuf.at[b], taps_out.at[ti, b], osem.at[0]).start()
-                cp(hbuf.at[b], taps_out.at[ti, b], osem.at[0]).wait()
-
-        @pl.when(l == m.L - 1)
+        # ---- phase C (g == G-1): o-proj + residual + LN2 + FFN --------
+        # (the FFN bias is sliced at REF load — value-slicing the loaded
+        # [1, F] row gives the broadcast a non-zero lane-offset layout
+        # Mosaic rejects, "Invalid input layout", BENCH_r03)
+        @pl.when(g == groups - 1)
         def _():
-            cp(hbuf.at[b], hid_out.at[b], osem.at[0]).start()
-            cp(hbuf.at[b], hid_out.at[b], osem.at[0]).wait()
+            for r0 in range(0, m.Tp, rb_rows):
+                nb = min(rb_rows, m.Tp - r0)
+                att = None
+                for gg in range(groups):
+                    rsl = slice(gg * _LANES, (gg + 1) * _LANES)
+                    pa = jnp.dot(qs[gg, r0:r0 + nb], wob[rsl, :],
+                                 preferred_element_type=jnp.float32)
+                    att = pa if att is None else att + pa
+                att = (att + bo[0].astype(jnp.float32)
+                       ).astype(jnp.bfloat16)
+                h = hbuf[b, r0:r0 + nb] + att          # residual
+                x2 = ln(h, ln2s, ln2b).astype(jnp.bfloat16)
+                acc = None
+                for c in range(n_chunks):
+                    cs = slice(c * f_chunk, (c + 1) * f_chunk)
+                    fh = jnp.dot(x2, f1b[:, cs],
+                                 preferred_element_type=jnp.float32)
+                    fh = fh + b1[0, 0, cs].astype(jnp.float32)
+                    g2 = _gelu_f32(fh).astype(jnp.bfloat16)
+                    p = jnp.dot(g2, f2b[cs, :],
+                                preferred_element_type=jnp.float32)
+                    acc = p if acc is None else acc + p
+                ffn = (acc + b2[0].astype(jnp.float32)
+                       ).astype(jnp.bfloat16)
+                hbuf[b, r0:r0 + nb] = h + ffn
+
+            # tap / final emission (post-layer, pre-final-LN — reference
+            # inline connector inputs, modeling_desta25.py:575-598)
+            for ti, tl in enumerate(m.taps):
+                @pl.when(l == tl)
+                def _(ti=ti):
+                    cp(hbuf.at[b], taps_out.at[ti, b],
+                       osem.at[0]).start()
+                    cp(hbuf.at[b], taps_out.at[ti, b],
+                       osem.at[0]).wait()
+
+            @pl.when(l == m.L - 1)
+            def _():
+                cp(hbuf.at[b], hid_out.at[b], osem.at[0]).start()
+                cp(hbuf.at[b], hid_out.at[b], osem.at[0]).wait()
 
     return kernel
 
@@ -259,9 +296,10 @@ def _build_call(m: _Meta, interpret: bool):
     vm = pltpu.VMEM
     bf16, f32 = jnp.bfloat16, jnp.float32
     n_taps = max(len(m.taps), 1)
+    groups = m.D // _LANES
 
     def lvec(n):
-        return pl.BlockSpec((1, 1, n), lambda l, b: (l, 0, 0),
+        return pl.BlockSpec((1, 1, n), lambda l, b, g: (l, 0, 0),
                             memory_space=vm)
 
     # order: ln1s ln1b ln2s ln2b bq bv bo b1 b2
@@ -276,10 +314,9 @@ def _build_call(m: _Meta, interpret: bool):
                  pl.BlockSpec(memory_space=pl.ANY)]
     scratch = [
         pltpu.VMEM((m.B, m.Tp, m.D), bf16),   # hbuf (resident stream)
-        pltpu.VMEM((m.Tp, m.D), bf16),        # qs (q, then attn out)
-        pltpu.VMEM((m.Tp, m.D), bf16),        # ks
-        pltpu.VMEM((m.Tp, m.D), bf16),        # vs
-        pltpu.VMEM((m.Tp, m.D), f32),         # facc (FFN accumulator)
+        pltpu.VMEM((groups, m.Tp, _LANES), bf16),  # qs (q, then attn out)
+        pltpu.VMEM((groups, m.Tp, _LANES), bf16),  # ks
+        pltpu.VMEM((groups, m.Tp, _LANES), bf16),  # vs
         pltpu.VMEM((m.D, m.D), bf16),         # wqb
         pltpu.VMEM((m.D, m.D), bf16),         # wkb
         pltpu.VMEM((m.D, m.D), bf16),         # wvb
@@ -293,13 +330,13 @@ def _build_call(m: _Meta, interpret: bool):
     ]
     return pl.pallas_call(
         _make_kernel(m),
-        grid=(m.L, m.B),
+        grid=(m.L, m.B, groups),
         in_specs=in_specs,
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=116 * 1024 * 1024),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
