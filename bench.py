@@ -180,35 +180,6 @@ def main():
     except Exception as e:  # noqa: BLE001
         detail["perception_int8_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        # whole-encoder-stack fused kernel (ops/enc_layers_fused.py,
-        # opt-in): driver-visible A/B against the per-op perception above
-        os.environ["DESTA_FUSED_ENC_LAYERS"] = "1"
-        from desta25_audio_tpu.ops.enc_layers_fused import (
-            fused_enc_supported,
-        )
-        enc_c = cfg.encoder_config
-        assert fused_enc_supported(
-            BATCH, enc_c.max_source_positions, enc_c.d_model,
-            enc_c.encoder_ffn_dim, enc_c.encoder_attention_heads,
-            jnp.bfloat16), "fused stack gated off — would time per-op"
-
-        def many_stack(ep, cp, x0):
-            # fresh function object: jax.jit caches per function, and the
-            # env flip above must produce a new trace (CLAUDE.md gotcha)
-            return many(ep, cp, x0)
-
-        fs = jax.jit(many_stack)
-        float(fs(enc_params, conn_params, x0))
-        t0 = time.time()
-        float(fs(enc_params, conn_params, x0))
-        per_iter_s = max((time.time() - t0 - rtt) / ITERS, 1e-9)
-        detail["perception_fusedstack_audio_sec_s"] = round(
-            BATCH * CLIP_SECONDS / per_iter_s, 1)
-    except Exception as e:  # noqa: BLE001
-        detail["perception_fusedstack_error"] = f"{type(e).__name__}: {e}"[:200]
-    finally:
-        os.environ["DESTA_FUSED_ENC_LAYERS"] = "0"
-    try:
         detail.update(bench_decode_and_ttft(
             rtt, enc_params, conn_params, cfg, x0[:1]))
     except Exception as e:  # noqa: BLE001

@@ -245,24 +245,14 @@ def whisper_encoder_apply(
     x = gelu(conv1d(params["conv2"], x, stride=2, padding=1))
     x = x + params["embed_positions"][None, :x.shape[1]].astype(x.dtype)
 
-    # Whole-stack fused kernel (ops/enc_layers_fused.py): all layers in
-    # one pallas_call with the residual stream resident in VMEM.
-    # OPT-IN via DESTA_FUSED_ENC_LAYERS=1 until the TPU A/B lands.
-    from ..ops.enc_layers_fused import (
-        fused_enc_supported,
-        fused_encoder_layers,
-    )
-    lyr = params["layers"]
-    if (fused_enc_supported(x.shape[0], x.shape[1], cfg.d_model,
-                            cfg.encoder_ffn_dim,
-                            cfg.encoder_attention_heads, x.dtype)
-            and "w" in lyr["fc1"] and "w" in lyr["attn"]["q"]):
-        hidden, taps = fused_encoder_layers(lyr, x, cfg, target_layer_ids)
-        final = layer_norm(params["ln_post"], hidden)
-        if not target_layer_ids:
-            B, T, D = hidden.shape
-            taps = jnp.zeros((1, B, T, D), hidden.dtype)
-        return final, taps
+    # NOTE: a whole-encoder-stack fused kernel (all 32 layers in one
+    # pallas_call, residual stream resident in VMEM) was built and
+    # A/B'd on v5e in round 4 and MEASURED WORSE than this per-op path
+    # at every batch (b8: 177.3 vs 138.2 ms; B=1: 24.1 vs 19.8 ms) —
+    # the tuned per-op kernels (packed attention + fused FFN) win on
+    # MXU scheduling over what the layer-boundary fusion saves.  See
+    # CLAUDE.md's MEASURED-WORSE ledger; removed at commit history
+    # 'Encoder-stack kernel: lane-group axis on the grid'.
 
     def body(hidden, p):
         return _enc_layer_apply(p, hidden,

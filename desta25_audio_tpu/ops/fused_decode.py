@@ -191,7 +191,10 @@ def fused_supported(params, cfg, cache, kd: int = 1) -> bool:
     quantized = all(is_quantized(layers.get(k)) for k in keys)
     if not quantized:
         # bf16 weight stream: unquantized towers still beat the
-        # per-projection XLA path (2x the bytes, zero pipeline re-fill)
+        # per-projection XLA path (2x the bytes, zero pipeline re-fill).
+        # Measured (scripts/bench_bf16_decode.py, v5e Qwen3-4B b8
+        # CTX=192): fused 718 tok/s (11.15 ms/step) vs XLA 595
+        # (13.44 ms/step) — default stays on.
         if not all(
                 isinstance(layers.get(k), jnp.ndarray)
                 and layers[k].dtype == jnp.bfloat16 for k in keys):

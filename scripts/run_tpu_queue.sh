@@ -41,7 +41,6 @@ run bf16_xla env DESTA_FUSED_DECODE=0 python scripts/bench_bf16_decode.py
 run bf16_fused env DESTA_FUSED_DECODE=1 python scripts/bench_bf16_decode.py
 
 # 3. whole-encoder-stack kernel A/B (flip default only if it beats 1560)
-run enc_stack python scripts/ab_enc_stack.py 8 20
 
 # 4. serving load benches (ORCA, ORCA+spec, pipelined ticks)
 run load_orca python scripts/bench_serving_load.py 8 48 --orca
