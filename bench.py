@@ -362,6 +362,31 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
         qsamples.sort()
         out["ttft_int8enc_p50_ms"] = round(
             qsamples[len(qsamples) // 2] * 1e3, 2)
+
+        # device-program TTFT: the same program scan-amortized inside one
+        # jit — excludes per-dispatch host/tunnel overhead (~2-5 ms here
+        # beyond the subtracted RTT) that a local TPU host wouldn't pay.
+        # Single-shot wall time above stays the headline latency.
+        DITERS = 10
+
+        def ttft_many(enc_p, conn_p, llm_p, audio):
+            def body(c, i):
+                return c + ttft(enc_p, conn_p, llm_p,
+                                audio + i * 1e-7), None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(DITERS))
+            return acc
+
+        for name, ep in (("ttft_device_p50_ms", enc_params),
+                         ("ttft_int8enc_device_p50_ms", enc_q)):
+            gm = jax.jit(ttft_many)
+            int(gm(ep, conn8, lp, clip1))
+            dsamples = []
+            for _ in range(5):
+                t0 = time.time()
+                int(gm(ep, conn8, lp, clip1))
+                dsamples.append((time.time() - t0 - rtt) / DITERS)
+            dsamples.sort()
+            out[name] = round(dsamples[len(dsamples) // 2] * 1e3, 2)
         del enc_q
     except Exception as e:  # noqa: BLE001
         out["ttft_int8enc_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -171,6 +171,7 @@ def _enc_self_attn(p: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     projection outputs directly — no [B,H,T,D] transposes and no pad to a
     flash-friendly length, which cost ~1.3 ms/layer of HBM traffic on v5e
     for whisper-large-v3 at batch 8."""
+    import os
     from ..ops.enc_attention import packed_encoder_attention, packed_supported
     D = x.shape[-1]
     if not (_packed_attn_enabled() and packed_supported(n_heads, D)
@@ -179,7 +180,13 @@ def _enc_self_attn(p: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     q = linear(p["q"], x)
     k = linear(p["k"], x)
     v = linear(p["v"], x)
-    out = packed_encoder_attention(q, k, v, n_heads)
+    # block_q tuned per batch regime (scripts/sweep_enc_b1.py on v5e:
+    # B=1 19.58 -> 19.12 ms/fwd at bq=768; B=8 regresses 138 -> 144,
+    # so the split is batch-adaptive).  Env override is read at trace
+    # time (fresh function object per mode for A/Bs — CLAUDE.md).
+    default_bq = 768 if x.shape[0] == 1 else 512
+    bq = int(os.environ.get("DESTA_ENC_BQ", "0")) or default_bq
+    out = packed_encoder_attention(q, k, v, n_heads, block_q=bq)
     return linear(p["o"], out)
 
 
@@ -206,19 +213,29 @@ def _enc_ffn(p: Params, h: jnp.ndarray) -> jnp.ndarray:
     fused_on = (os.environ.get("DESTA_FUSED_ENC_FFN", "1")
                 not in ("0", "false")
                 and _packed_attn_enabled() and h.shape[1] >= 512)
+    # block_m: B=1 runs the whole [T, D] slab as one block (sweep_enc_b1:
+    # 19.12 -> 18.90 bf16 / 15.35 -> 15.04 ms w8a8); b8 default stays 256.
+    default_bm = 1536 if h.shape[0] == 1 else 256
+    bm = int(os.environ.get("DESTA_ENC_BM", "0")) or default_bm
     if (fused_on and "w" in fc1 and "b" in fc1 and "w" in fc2
             and "b" in fc2
             and ffn_supported(h.shape[-1], fc1["w"].shape[1], h.dtype)):
-        return encoder_ffn(h, fc1["w"], fc1["b"], fc2["w"], fc2["b"])
-    if (fused_on and "q" in fc1 and "q" in fc2 and "b" in fc1
-            and "b" in fc2
-            and ffn_w8a8_supported(h.shape[-1], fc1["q"].shape[1],
-                                   h.dtype)):
+        return encoder_ffn(h, fc1["w"], fc1["b"], fc2["w"], fc2["b"],
+                           block_m=bm)
+    if "q" in fc1 and "q" in fc2 and "b" in fc1 and "b" in fc2:
         # encoder_quant="int8" weights: W8A8 in ONE kernel (in-kernel
         # per-row act quant; the per-op XLA int8 path pays fusion-breaking
         # quant epilogues — see ops/quant.quantize_encoder_params)
-        return encoder_ffn_w8a8(h, fc1["q"], fc1["s"], fc1["b"],
-                                fc2["q"], fc2["s"], fc2["b"])
+        if fused_on and ffn_w8a8_supported(h.shape[-1], fc1["q"].shape[1],
+                                           h.dtype):
+            return encoder_ffn_w8a8(h, fc1["q"], fc1["s"], fc1["b"],
+                                    fc2["q"], fc2["s"], fc2["b"],
+                                    block_m=bm)
+        # off-TPU / unsupported shapes: XLA W8A8 so quantized encoder
+        # params run everywhere (CPU tests, interpret mode)
+        from ..ops.enc_ffn import _xla_ffn_w8a8
+        return _xla_ffn_w8a8(h, fc1["q"], fc1["s"], fc1["b"],
+                             fc2["q"], fc2["s"], fc2["b"])
     return linear(fc2, gelu(linear(fc1, h)))
 
 

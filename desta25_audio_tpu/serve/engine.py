@@ -99,6 +99,7 @@ class ContinuousBatchingEngine:
                  ctx_bucket: int = 64, seed: int = 0,
                  steps_per_tick: int = 8, on_token=None,
                  speculative_k: int = 0,
+                 adaptive_spec: bool = True,
                  on_overflow: str = "error",
                  pipeline_ticks: bool = True,
                  audio_cache: int = 64):
@@ -124,6 +125,14 @@ class ContinuousBatchingEngine:
         has the argument).  Requires the fused verify kernel (int8 or
         bf16 tower, no LoRA; ORCA needs an int8 cross-attn stack + int8
         tower); falls back to plain ticks with a warning otherwise.
+
+        adaptive_spec (default True, only meaningful with
+        speculative_k >= 2): track an EMA of measured accepted
+        tokens/step and drop to plain decode ticks while it is below
+        ~1.12 (low-redundancy workloads where Kd-wide verify costs more
+        than it saves), re-probing with one history-resynced spec tick
+        every ~24 ticks.  Token trajectories are mode-invariant;
+        set adaptive_spec=False to force speculation on every tick.
 
         on_overflow: "error" (default) rejects submissions whose context
         exceeds ``max_ctx`` with ValueError; "truncate" clips the left
@@ -268,6 +277,26 @@ class ContinuousBatchingEngine:
                     "bf16 cache, no LoRA; ORCA additionally needs "
                     "an int8 cross-attn stack); serving falls back to "
                     "plain decode ticks", speculative_k)
+        # Adaptive speculation (measured motivation: --spec=4 on a
+        # random-text load bench is 264 vs 339 tok/s — acceptance ~1
+        # never pays the Kd-wide verify cost, while repetitive
+        # workloads hold 3.1-3.3x).  The controller tracks an EMA of
+        # accepted tokens/step from real verify ticks; when it sinks
+        # below ``_spec_off`` the engine falls back to plain ticks and
+        # re-probes with one spec tick (history resynced from host)
+        # every ``_spec_reprobe`` ticks.  Greedy trajectories are mode-
+        # invariant, so switching is correctness-free; only drafting
+        # efficiency is at stake.
+        self.adaptive_spec = bool(adaptive_spec) and self.speculative_k >= 2
+        self._spec_off = 1.12       # EMA below this -> plain ticks
+        self._spec_on = 1.35        # probe acceptance >= this -> spec
+        self._spec_reprobe = 24     # plain ticks between probes
+        self._spec_ema = self._spec_on  # optimistic start: try spec
+        self._spec_live = True
+        self._spec_probing = False
+        self._ticks_since_probe = 0
+        self._n_spec_ticks = 0   # observability: dispatched tick mix
+        self._n_plain_ticks = 0
         self.pipeline_ticks = bool(pipeline_ticks)
         # device-resident slot state (pipelined mode): dispatches chain
         # on these without a host sync; admissions patch them.  Spec
@@ -822,6 +851,27 @@ class ContinuousBatchingEngine:
         expired = self._expire_deadlines()
         active = [s for s in range(self.n_slots)
                   if self.slot_req[s] is not None]
+        # adaptive speculation: fall back to plain ticks while measured
+        # acceptance is low; re-probe periodically (see __init__)
+        use_spec = bool(self.speculative_k)
+        if use_spec and self.adaptive_spec and not self._spec_live:
+            self._ticks_since_probe += 1
+            if active and self._ticks_since_probe >= self._spec_reprobe:
+                self._spec_live = True
+                self._spec_probing = True
+                self._ticks_since_probe = 0
+            else:
+                use_spec = False
+        if (self.pipeline_ticks and self._inflight is not None and active
+                and self._inflight[0] != ("spec" if use_spec
+                                          else "plain")):
+            # mode switch: drain the in-flight tick so host mirrors are
+            # current before the next dispatch reads them
+            expired += self.flush()
+            active = [s for s in range(self.n_slots)
+                      if self.slot_req[s] is not None]
+        if use_spec and self._spec_probing and active:
+            self._resync_spec_state(active)
         outs = ms = None
         K = self.steps_per_tick
         write_pos = self.slot_pos.copy()
@@ -836,7 +886,12 @@ class ContinuousBatchingEngine:
         def snap(a):
             return jnp.asarray(a.copy())
 
-        if active and self.speculative_k:
+        if active:
+            if use_spec:
+                self._n_spec_ticks += 1
+            else:
+                self._n_plain_ticks += 1
+        if active and use_spec:
             # spec tick: K verify steps, each accepting 1..Kd tokens per
             # slot; history buffers ride on-device across ticks.  The
             # sampler runs at every verify position only when a sampled
@@ -885,7 +940,7 @@ class ContinuousBatchingEngine:
             new_inflight = None
             if outs is not None:
                 slot_reqs = [(s, self.slot_req[s]) for s in active]
-                if self.speculative_k:
+                if use_spec:
                     # spec advance is data-dependent: slot cursors stay
                     # lagged (consume-updated); device state chains
                     new_inflight = ("spec", outs, ms, slot_reqs)
@@ -919,7 +974,7 @@ class ContinuousBatchingEngine:
         self._admit_queued()
         if outs is None:
             return expired
-        if self.speculative_k:
+        if use_spec:
             return expired + self._consume_spec_tick(
                 [(s, self.slot_req[s]) for s in active],
                 np.asarray(outs), np.asarray(ms), write_pos)
@@ -1000,6 +1055,7 @@ class ContinuousBatchingEngine:
         ``slot_pos`` mirror at consume time is exactly that)."""
         K = self.steps_per_tick
         finished = []
+        tot_acc = tot_steps = 0
         for s, req in slot_reqs:
             if req.done or self.slot_req[s] is not req:
                 continue  # zombie tick of an already-retired request
@@ -1016,6 +1072,8 @@ class ContinuousBatchingEngine:
                     if fin:
                         break
                 advanced += m
+                tot_acc += m
+                tot_steps += 1
                 if fin:
                     break
             if fin is None and int(write_pos[s]) + advanced \
@@ -1025,11 +1083,63 @@ class ContinuousBatchingEngine:
                 finished.append(req.rid)
                 self._finish(s, fin)
             else:
+                # keep the host mask mirror current: the spec program
+                # derives decode-region mask bits from the cache index,
+                # but a later PLAIN tick (adaptive fallback) reads this
+                # mirror and must see the spec-written rows
+                wp = int(write_pos[s])
+                self.slot_mask[s, wp:wp + advanced] = 1
                 self.slot_pos[s] += advanced
                 self.slot_rope[s] += advanced
                 if advanced:
                     self.cur_tok[s] = req.tokens[-1]
+        if self.adaptive_spec and tot_steps:
+            rate = tot_acc / tot_steps
+            if self._spec_probing:
+                # probe verdict: stay speculative only on clear wins
+                self._spec_probing = False
+                self._spec_live = rate >= self._spec_on
+                self._spec_ema = max(rate, self._spec_on)
+            else:
+                self._spec_ema = 0.7 * self._spec_ema + 0.3 * rate
+                if self._spec_live and self._spec_ema < self._spec_off:
+                    self._spec_live = False
+                    self._ticks_since_probe = 0
+                    self._spec_ema = self._spec_on
         return finished
+
+    def _resync_spec_state(self, active: List[int]):
+        """Rebuild the device-resident n-gram history (and, in pipelined
+        mode, the chained slot mirrors) from host state before a
+        speculative probe tick — plain ticks do not maintain them.
+        Drafting quality is all that rides on the history; acceptance is
+        verified exactly either way."""
+        hcap = self.hist.shape[1]
+        rows = np.zeros((len(active), hcap), np.int32)
+        lens = np.zeros(len(active), np.int32)
+        for i, s in enumerate(active):
+            req = self.slot_req[s]
+            ids = (np.asarray(req.prompt_ids, np.int32)
+                   if req.prompt_ids is not None
+                   else np.zeros(0, np.int32))
+            seq = np.concatenate([ids,
+                                  np.asarray(req.tokens, np.int32)])
+            if len(seq) > hcap:
+                seq = seq[-hcap:]
+            rows[i, :len(seq)] = seq
+            lens[i] = len(seq)
+            # req.tokens is the authoritative last token: pipelined
+            # plain ticks chain the token on-device and never refresh
+            # the host cur_tok mirror
+            self.cur_tok[s] = req.tokens[-1]
+        sl = jnp.asarray(active)
+        self.hist = self.hist.at[sl].set(jnp.asarray(rows))
+        self.hlen = self.hlen.at[sl].set(jnp.asarray(lens))
+        if self.pipeline_ticks:
+            # host mirrors are authoritative after the drain above
+            self._cur_dev = jnp.asarray(self.cur_tok.copy())
+            self._ci_dev = jnp.asarray(self.slot_pos.copy())
+            self._pos_dev = jnp.asarray(self.slot_rope.copy())
 
     def _finish(self, slot: int, reason: str = "eos"):
         req = self.slot_req[slot]

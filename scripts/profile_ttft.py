@@ -150,7 +150,7 @@ def main():
             cache=cache, cache_index=0, skip_head=True,
             return_hidden=True)
         from desta25_audio_tpu.models.llm import _head_logits
-        lg = _head_logits(lp, llm_cfg, hidden[:, -1:])
+        lg = _head_logits(p, llm_cfg, hidden[:, -1:])
         return jnp.sum(lg[0, -1])
     timed("prefill 128ctx (last-tok head)", scan_over(prefill_lt_body),
           lp, embeds, rtt=rtt)

@@ -352,7 +352,8 @@ def test_engine_cache_full_surfaced(model, wavs):
     assert res[rid]["truncated"] is True
 
 
-def _spec_model():
+@pytest.fixture(scope="module")
+def spec_model():
     from desta25_audio_tpu import DeSTA25Config as _Cfg
     from desta25_audio_tpu import DeSTA25AudioModel as _Model
     cfg = _Cfg(
@@ -363,85 +364,122 @@ def _spec_model():
     return _Model(cfg, seed=0)
 
 
-def test_engine_speculative_matches_plain_ticks(wavs, monkeypatch):
+SPEC_MAX_NEW = 6
+
+
+@pytest.fixture(scope="module")
+def plain_spec_baseline(spec_model, wavs, pytestconfig):
+    """Greedy plain-tick trajectories for the 3 standard requests,
+    computed ONCE — every spec test compares against these (interpret-
+    mode engines are the slowest thing in the suite; sharing the
+    baseline run saves minutes)."""
+    eng = ContinuousBatchingEngine(spec_model, n_slots=2, max_ctx=128,
+                                   max_new_tokens=SPEC_MAX_NEW,
+                                   ctx_bucket=128)
+    rids = [eng.submit(_msgs(wavs[i], i)) for i in range(3)]
+    res = eng.run_until_done()
+    return [res[r] for r in rids]
+
+
+def test_engine_speculative_matches_plain_ticks(
+        spec_model, plain_spec_baseline, wavs, monkeypatch):
     """Spec-mode engine (greedy slots draft+verify k tokens/step) must
     emit the same greedy trajectories as plain decode ticks, across slot
     reuse, and accept >1 token/step on repetitive continuations."""
     monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
-    m = _spec_model()
-    MAX_NEW = 6
     reqs = [_msgs(wavs[i], i) for i in range(3)]
-    plain = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
-                                     max_new_tokens=MAX_NEW,
-                                     ctx_bucket=128)
-    pr = [plain.submit(q) for q in reqs]
-    pres = plain.run_until_done()
-
-    spec = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
-                                    max_new_tokens=MAX_NEW,
-                                    ctx_bucket=128, speculative_k=4)
-    assert spec.speculative_k == 4  # eligible, not silently disabled
+    spec = ContinuousBatchingEngine(spec_model, n_slots=2, max_ctx=128,
+                                    max_new_tokens=SPEC_MAX_NEW,
+                                    ctx_bucket=128, speculative_k=3)
+    assert spec.speculative_k == 3  # eligible, not silently disabled
     sr = [spec.submit(q) for q in reqs]
     sres = spec.run_until_done()
-    for a, b in zip(pr, sr):
-        assert pres[a] == sres[b], (pres[a], sres[b])
+    for a, b in zip(plain_spec_baseline, sr):
+        assert a == sres[b], (a, sres[b])
     info = spec.results()
     assert all(v["finish_reason"] in ("eos", "length")
                for v in info.values())
 
 
-def test_engine_speculative_mixed_sampling(wavs, monkeypatch):
+def test_engine_speculative_mixed_sampling(
+        spec_model, plain_spec_baseline, wavs, monkeypatch):
     """Sampled slots run the token-matching coupling (one draw per verify
     position, accept drafts that match); greedy slots in the same batch
     keep exact plain-tick trajectories even while the sampler runs at
     every verify position (sample_positions=Kd)."""
     monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
-    m = _spec_model()
-    MAX_NEW = 6
-    plain = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
-                                     max_new_tokens=MAX_NEW,
-                                     ctx_bucket=128)
-    pg = plain.submit(_msgs(wavs[0], 0))
-    pres = plain.run_until_done()
-
-    spec = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
-                                    max_new_tokens=MAX_NEW,
-                                    ctx_bucket=128, speculative_k=4,
+    spec = ContinuousBatchingEngine(spec_model, n_slots=2, max_ctx=128,
+                                    max_new_tokens=SPEC_MAX_NEW,
+                                    ctx_bucket=128, speculative_k=3,
                                     seed=3)
     sg = spec.submit(_msgs(wavs[0], 0))
     ss = spec.submit(_msgs(wavs[1], 1), temperature=1.1, top_p=0.9,
                      do_sample=True)
     sres = spec.run_until_done()
-    assert sres[sg] == pres[pg]
+    assert sres[sg] == plain_spec_baseline[0]
     assert isinstance(sres[ss], str) and len(spec.finished[ss]) >= 1
 
 
 def test_engine_speculative_sampled_tiny_temp_matches_greedy(
-        wavs, monkeypatch):
+        spec_model, plain_spec_baseline, wavs, monkeypatch):
     """At temperature -> 0 a sampled slot's draws collapse to argmax, so
     its spec-tick trajectory must equal the plain-tick greedy result —
     pins the engine's per-position sampling + multi-token acceptance for
     sampled slots end to end."""
     monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
-    m = _spec_model()
-    MAX_NEW = 6
-    plain = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
-                                     max_new_tokens=MAX_NEW,
-                                     ctx_bucket=128)
-    pg = plain.submit(_msgs(wavs[0], 0))
-    pres = plain.run_until_done()
-
-    spec = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
-                                    max_new_tokens=MAX_NEW,
-                                    ctx_bucket=128, speculative_k=4,
+    spec = ContinuousBatchingEngine(spec_model, n_slots=2, max_ctx=128,
+                                    max_new_tokens=SPEC_MAX_NEW,
+                                    ctx_bucket=128, speculative_k=3,
                                     seed=5)
     ss = spec.submit(_msgs(wavs[0], 0), temperature=1e-4, top_p=1.0,
                      do_sample=True)
     sres = spec.run_until_done()
-    assert sres[ss] == pres[pg], (sres[ss], pres[pg])
+    assert sres[ss] == plain_spec_baseline[0], \
+        (sres[ss], plain_spec_baseline[0])
+
+
+def test_engine_adaptive_spec_mode_flips_preserve_trajectory(
+        spec_model, wavs, monkeypatch):
+    """Adaptive speculation (EMA-gated fallback to plain ticks with
+    periodic history-resynced probes) must emit the same greedy
+    trajectories as always-on speculation, across disable -> plain ->
+    probe transitions, in both sequential and pipelined engines."""
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    m = spec_model
+    reqs = [_msgs(wavs[j % 3], j) for j in range(3)]
+
+    def run(adaptive, pipeline):
+        eng = ContinuousBatchingEngine(m, n_slots=2, max_ctx=128,
+                                       max_new_tokens=8, ctx_bucket=128,
+                                       speculative_k=3, steps_per_tick=2,
+                                       adaptive_spec=adaptive,
+                                       pipeline_ticks=pipeline)
+        assert eng.speculative_k == 3
+        if adaptive:
+            # force flips: nothing passes these bars, so the engine
+            # disables after the first tick and probes every 2 ticks
+            eng._spec_off = 10.0
+            eng._spec_on = 10.0
+            eng._spec_ema = 10.0
+            eng._spec_reprobe = 2
+        rids = [eng.submit(q) for q in reqs]
+        res = eng.run_until_done()
+        return [res[r] for r in rids], eng
+
+    base, beng = run(False, False)
+    assert beng._n_plain_ticks == 0  # always-on control never downgrades
+    for pipeline in (False, True):
+        texts, eng = run(True, pipeline)
+        assert texts == base, (pipeline, texts, base)
+        # the run really mixed modes: disabled after tick 1, then
+        # probed periodically
+        assert eng._n_plain_ticks > 0 and eng._n_spec_ticks > 0, \
+            (eng._n_spec_ticks, eng._n_plain_ticks)
+        assert not eng._spec_live  # probes can't pass a bar of 10
 
 
 def test_engine_speculative_fallback_when_unsupported(model):
@@ -481,13 +519,14 @@ def test_engine_pipelined_ticks_match_sequential(model, wavs):
     assert pip_fins == seq_fins
 
 
-def test_engine_pipelined_spec_matches_sequential(wavs, monkeypatch):
+def test_engine_pipelined_spec_matches_sequential(
+        spec_model, wavs, monkeypatch):
     """Pipelined speculative ticks (device-chained cache index / rope /
     history) emit the same greedy trajectories as the sequential spec
     engine, across slot reuse."""
     monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
-    m = _spec_model()
+    m = spec_model
     reqs = [_msgs(wavs[j % 3], j) for j in range(3)]
 
     def run(pipeline):

@@ -109,7 +109,7 @@ def test_spec_sampled_tiny_temperature_matches_greedy(rng, monkeypatch):
     cfg = _nano_cfg()
     params = jllm.init_llm(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
     qp = quantize_llm_params(tree_cast(params, jnp.bfloat16))
-    B, T, MAX_NEW = 2, 12, 16
+    B, T, MAX_NEW = 2, 12, 10
     ids = jnp.asarray(rng.integers(2, 500, size=(B, T)), jnp.int32)
     embeds = qp["embed"][ids]
     amask = jnp.ones((B, T), jnp.int32)
@@ -189,17 +189,17 @@ def test_generate_speculative_e2e(monkeypatch, tmp_path):
     write_wav(p, sig)
     msgs = [{"role": "user", "content": "Describe: <|AUDIO|>",
              "audios": [{"audio": p, "text": "a tone"}]}]
-    ref = model.generate(msgs, do_sample=False, max_new_tokens=6,
+    ref = model.generate(msgs, do_sample=False, max_new_tokens=5,
                          speculative_k=0)
-    got = model.generate(msgs, do_sample=False, max_new_tokens=6,
+    got = model.generate(msgs, do_sample=False, max_new_tokens=5,
                          speculative_k=4)
     assert got.text == ref.text, (got.text, ref.text)
 
     # text-only path with prompt-id seeded lookup
     tmsgs = [{"role": "user", "content": "hello hello hello hello"}]
-    ref_t = model.generate(tmsgs, do_sample=False, max_new_tokens=8,
+    ref_t = model.generate(tmsgs, do_sample=False, max_new_tokens=6,
                            speculative_k=0)
-    got_t = model.generate(tmsgs, do_sample=False, max_new_tokens=8,
+    got_t = model.generate(tmsgs, do_sample=False, max_new_tokens=6,
                            speculative_k=4)
     assert got_t.text == ref_t.text
 
@@ -207,5 +207,5 @@ def test_generate_speculative_e2e(monkeypatch, tmp_path):
     # temperature -> 0 every draw is the argmax, so the output must
     # match greedy — proves generate() no longer falls back on do_sample
     got_s = model.generate(msgs, do_sample=True, temperature=1e-4,
-                           top_p=1.0, max_new_tokens=6, speculative_k=4)
+                           top_p=1.0, max_new_tokens=5, speculative_k=4)
     assert got_s.text == ref.text, (got_s.text, ref.text)
