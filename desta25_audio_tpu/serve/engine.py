@@ -129,10 +129,14 @@ class ContinuousBatchingEngine:
         adaptive_spec (default True, only meaningful with
         speculative_k >= 2): track an EMA of measured accepted
         tokens/step and drop to plain decode ticks while it is below
-        ~1.12 (low-redundancy workloads where Kd-wide verify costs more
-        than it saves), re-probing with one history-resynced spec tick
-        every ~24 ticks.  Token trajectories are mode-invariant;
-        set adaptive_spec=False to force speculation on every tick.
+        break-even, re-probing with one history-resynced spec tick
+        every ~24 ticks.  Break-even is COST-AWARE: the engine measures
+        spec- and plain-tick durations (occasional plain calibration
+        ticks while speculating) and requires acceptance >
+        T_spec/T_plain — ~1.1 for a bare verify kernel, ~2x for ORCA
+        whose in-kernel injection attends the audio K/V at every draft
+        position.  Token trajectories are mode-invariant; set
+        adaptive_spec=False to force speculation on every tick.
 
         on_overflow: "error" (default) rejects submissions whose context
         exceeds ``max_ctx`` with ValueError; "truncate" clips the left
@@ -288,13 +292,25 @@ class ContinuousBatchingEngine:
         # invariant, so switching is correctness-free; only drafting
         # efficiency is at stake.
         self.adaptive_spec = bool(adaptive_spec) and self.speculative_k >= 2
-        self._spec_off = 1.12       # EMA below this -> plain ticks
-        self._spec_on = 1.35        # probe acceptance >= this -> spec
-        self._spec_reprobe = 24     # plain ticks between probes
+        # Break-even is COST-AWARE: a spec tick emits acc*K tokens in
+        # T_spec where a plain tick emits K in T_plain, so speculation
+        # wins iff acc > T_spec/T_plain — ~1.05 for a bare verify kernel
+        # but ~2x for ORCA (the in-kernel injection attends Ta audio
+        # tokens per draft position).  The engine measures both tick
+        # durations (consume fetch-block EMAs, admission-contaminated
+        # ticks skipped) and derives the bars; until both samples exist
+        # it falls back to the static ones below.
+        self._spec_off = 1.12       # fallback: EMA below this -> plain
+        self._spec_on = 1.35        # fallback: probe >= this -> spec
+        self._spec_reprobe = 24     # plain ticks between spec probes
         self._spec_ema = self._spec_on  # optimistic start: try spec
         self._spec_live = True
         self._spec_probing = False
+        self._hist_dirty = False    # plain ticks skip n-gram upkeep
         self._ticks_since_probe = 0
+        self._ticks_since_plain_probe = 0
+        self._dur_ema = {"spec": None, "plain": None}
+        self._n_admissions = 0
         self._n_spec_ticks = 0   # observability: dispatched tick mix
         self._n_plain_ticks = 0
         self.pipeline_ticks = bool(pipeline_ticks)
@@ -648,6 +664,7 @@ class ContinuousBatchingEngine:
             return []
         kind, *payload = self._inflight
         self._inflight = None
+        payload.pop()  # admission marker; no duration sampling here
         if kind == "spec":
             outs, ms, slot_reqs = payload
             return self._consume_spec_tick(
@@ -811,6 +828,7 @@ class ContinuousBatchingEngine:
             fin = self._check_stop(req, t)
             if fin:
                 self._finish(s, fin)
+        self._n_admissions += 1
         if self.pipeline_ticks:
             # patch the device-resident slot state for the admitted
             # slots (continuing slots keep their device-chained values)
@@ -852,16 +870,28 @@ class ContinuousBatchingEngine:
         active = [s for s in range(self.n_slots)
                   if self.slot_req[s] is not None]
         # adaptive speculation: fall back to plain ticks while measured
-        # acceptance is low; re-probe periodically (see __init__)
+        # acceptance is below break-even; re-probe periodically, and
+        # while speculating occasionally run one plain calibration tick
+        # to keep the spec-vs-plain cost ratio measured (see __init__)
         use_spec = bool(self.speculative_k)
-        if use_spec and self.adaptive_spec and not self._spec_live:
-            self._ticks_since_probe += 1
-            if active and self._ticks_since_probe >= self._spec_reprobe:
-                self._spec_live = True
-                self._spec_probing = True
-                self._ticks_since_probe = 0
+        if use_spec and self.adaptive_spec:
+            if not self._spec_live:
+                self._ticks_since_probe += 1
+                if active and self._ticks_since_probe \
+                        >= self._spec_reprobe:
+                    self._spec_live = True
+                    self._spec_probing = True
+                    self._ticks_since_probe = 0
+                else:
+                    use_spec = False
             else:
-                use_spec = False
+                self._ticks_since_plain_probe += 1
+                cadence = (self._spec_reprobe
+                           if self._dur_ema["plain"] is None
+                           else 4 * self._spec_reprobe)
+                if active and self._ticks_since_plain_probe >= cadence:
+                    self._ticks_since_plain_probe = 0
+                    use_spec = False  # one plain calibration tick
         if (self.pipeline_ticks and self._inflight is not None and active
                 and self._inflight[0] != ("spec" if use_spec
                                           else "plain")):
@@ -870,8 +900,9 @@ class ContinuousBatchingEngine:
             expired += self.flush()
             active = [s for s in range(self.n_slots)
                       if self.slot_req[s] is not None]
-        if use_spec and self._spec_probing and active:
+        if use_spec and self._hist_dirty and active:
             self._resync_spec_state(active)
+            self._hist_dirty = False
         outs = ms = None
         K = self.steps_per_tick
         write_pos = self.slot_pos.copy()
@@ -891,6 +922,10 @@ class ContinuousBatchingEngine:
                 self._n_spec_ticks += 1
             else:
                 self._n_plain_ticks += 1
+                if self.speculative_k:
+                    # plain ticks skip n-gram history upkeep; the next
+                    # spec tick must resync it from host state
+                    self._hist_dirty = True
         if active and use_spec:
             # spec tick: K verify steps, each accepting 1..Kd tokens per
             # slot; history buffers ride on-device across ticks.  The
@@ -943,7 +978,8 @@ class ContinuousBatchingEngine:
                 if use_spec:
                     # spec advance is data-dependent: slot cursors stay
                     # lagged (consume-updated); device state chains
-                    new_inflight = ("spec", outs, ms, slot_reqs)
+                    new_inflight = ("spec", outs, ms, slot_reqs,
+                                    self._n_admissions)
                 else:
                     # optimistic host advance (zombies corrected at
                     # consume: a retired slot's state is zeroed by
@@ -956,11 +992,14 @@ class ContinuousBatchingEngine:
                         self.slot_pos[s] = min(self.slot_pos[s] + K,
                                                self.t_max)
                         self.slot_rope[s] += K
-                    new_inflight = ("plain", outs, slot_reqs, write_pos)
+                    new_inflight = ("plain", outs, slot_reqs, write_pos,
+                                    self._n_admissions)
             self._admit_queued()
             finished = []
             if self._inflight is not None:
                 kind, *payload = self._inflight
+                n_adm0 = payload.pop()
+                t0 = time.monotonic()
                 if kind == "spec":
                     e, m_, sr = payload
                     finished = self._consume_spec_tick(
@@ -968,19 +1007,28 @@ class ContinuousBatchingEngine:
                         self.slot_pos.copy())
                 else:
                     finished = self._consume_tick(*payload)
+                self._record_tick_dur(kind, time.monotonic() - t0,
+                                      clean=self._n_admissions == n_adm0)
             self._inflight = new_inflight
             return expired + finished
 
+        n_adm0 = self._n_admissions
         self._admit_queued()
         if outs is None:
             return expired
+        t0 = time.monotonic()
         if use_spec:
-            return expired + self._consume_spec_tick(
+            fin = self._consume_spec_tick(
                 [(s, self.slot_req[s]) for s in active],
                 np.asarray(outs), np.asarray(ms), write_pos)
-        return expired + self._consume_tick(
-            outs, [(s, self.slot_req[s]) for s in active], write_pos,
-            advance=True)
+        else:
+            fin = self._consume_tick(
+                outs, [(s, self.slot_req[s]) for s in active], write_pos,
+                advance=True)
+        self._record_tick_dur("spec" if use_spec else "plain",
+                              time.monotonic() - t0,
+                              clean=self._n_admissions == n_adm0)
+        return expired + fin
 
     def _check_stop(self, req: _Request, tok: int) -> Optional[str]:
         """Per-token finish check (host side; tokens arrive in tick
@@ -1094,19 +1142,42 @@ class ContinuousBatchingEngine:
                 if advanced:
                     self.cur_tok[s] = req.tokens[-1]
         if self.adaptive_spec and tot_steps:
-            rate = tot_acc / tot_steps
-            if self._spec_probing:
-                # probe verdict: stay speculative only on clear wins
-                self._spec_probing = False
-                self._spec_live = rate >= self._spec_on
-                self._spec_ema = max(rate, self._spec_on)
-            else:
-                self._spec_ema = 0.7 * self._spec_ema + 0.3 * rate
-                if self._spec_live and self._spec_ema < self._spec_off:
-                    self._spec_live = False
-                    self._ticks_since_probe = 0
-                    self._spec_ema = self._spec_on
+            self._spec_controller_update(tot_acc / tot_steps)
         return finished
+
+    def _spec_controller_update(self, rate: float):
+        """Adaptive-speculation decision on one spec tick's measured
+        acceptance (tokens/step).  Bars are cost-aware once both tick
+        durations are measured — speculation pays iff acceptance >
+        T_spec/T_plain (±hysteresis) — and fall back to the static
+        thresholds until then."""
+        ds, dp = self._dur_ema["spec"], self._dur_ema["plain"]
+        be = max(1.0, ds / dp) if (ds and dp) else None
+        off_bar = be * 0.98 if be is not None else self._spec_off
+        on_bar = be * 1.10 if be is not None else self._spec_on
+        if self._spec_probing:
+            # probe verdict: stay speculative only on clear wins
+            self._spec_probing = False
+            self._spec_live = rate >= on_bar
+            self._spec_ema = max(rate, on_bar)
+        else:
+            self._spec_ema = 0.7 * self._spec_ema + 0.3 * rate
+            if self._spec_live and self._spec_ema < off_bar:
+                self._spec_live = False
+                self._ticks_since_probe = 0
+                self._spec_ema = on_bar
+
+    def _record_tick_dur(self, kind: str, dt: float, clean: bool):
+        """EMA of the consume fetch-block time per tick kind — the
+        leftover device time of the consumed tick, the signal behind the
+        adaptive-speculation break-even.  Admission-contaminated ticks
+        are skipped (the admission prefill's own device sync absorbed
+        the wait) and so are sub-2ms samples (host-bound floor where the
+        spec/plain ratio is meaningless noise)."""
+        if not (self.adaptive_spec and clean) or dt < 2e-3:
+            return
+        cur = self._dur_ema[kind]
+        self._dur_ema[kind] = dt if cur is None else 0.7 * cur + 0.3 * dt
 
     def _resync_spec_state(self, active: List[int]):
         """Rebuild the device-resident n-gram history (and, in pipelined

@@ -53,9 +53,13 @@ SPEC_K = 0
 for a in sys.argv[1:]:
     if a.startswith("--spec"):
         SPEC_K = int(a.split("=")[1]) if "=" in a else 4
-# --pipeline: one-tick-lookahead dispatch (hides host sync + RTT behind
-# the next tick's device time; greedy trajectories unchanged)
-PIPELINE = "--pipeline" in sys.argv[1:]
+# pipelined ticks are the engine default since r4 (+44% at 8 slots);
+# --no-pipeline measures the sequential engine (--pipeline kept as a
+# no-op for old command lines)
+PIPELINE = "--no-pipeline" not in sys.argv[1:]
+# --no-adaptive forces speculation on every tick (A/B the acceptance-
+# EMA controller)
+ADAPTIVE = "--no-adaptive" not in sys.argv[1:]
 N_SLOTS = int(ARGS[0]) if len(ARGS) > 0 else 8
 N_REQUESTS = int(ARGS[1]) if len(ARGS) > 1 else 48
 MAX_NEW = 48
@@ -115,7 +119,7 @@ def main():
     eng = ContinuousBatchingEngine(
         model, n_slots=N_SLOTS, max_ctx=256, max_new_tokens=MAX_NEW,
         ctx_bucket=128, steps_per_tick=8, speculative_k=SPEC_K,
-        pipeline_ticks=PIPELINE)
+        adaptive_spec=ADAPTIVE, pipeline_ticks=PIPELINE)
     if SPEC_K:
         assert eng.speculative_k == SPEC_K, "spec ticks not eligible here"
 
@@ -217,6 +221,11 @@ def main():
           f"p99 {pct(d_admit, 0.99)*1e3:7.1f}   n={len(d_admit)}")
     print(f"tick ms (plain) p50 {pct(d_plain, 0.5)*1e3:7.1f}   "
           f"p99 {pct(d_plain, 0.99)*1e3:7.1f}   n={len(d_plain)}")
+    if SPEC_K:
+        print(f"tick mix        spec={eng._n_spec_ticks} "
+              f"plain={eng._n_plain_ticks} "
+              f"(adaptive={'on' if ADAPTIVE else 'off'}, "
+              f"spec_live={eng._spec_live})")
 
 
 if __name__ == "__main__":

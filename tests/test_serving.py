@@ -462,10 +462,12 @@ def test_engine_adaptive_spec_mode_flips_preserve_trajectory(
         if adaptive:
             # force flips: nothing passes these bars, so the engine
             # disables after the first tick and probes every 2 ticks
+            # (duration sampling off -> the static bars stay in charge)
             eng._spec_off = 10.0
             eng._spec_on = 10.0
             eng._spec_ema = 10.0
             eng._spec_reprobe = 2
+            eng._record_tick_dur = lambda *a, **k: None
         rids = [eng.submit(q) for q in reqs]
         res = eng.run_until_done()
         return [res[r] for r in rids], eng
@@ -480,6 +482,34 @@ def test_engine_adaptive_spec_mode_flips_preserve_trajectory(
         assert eng._n_plain_ticks > 0 and eng._n_spec_ticks > 0, \
             (eng._n_spec_ticks, eng._n_plain_ticks)
         assert not eng._spec_live  # probes can't pass a bar of 10
+
+
+def test_engine_adaptive_spec_cost_aware_break_even(model):
+    """The controller's bars derive from MEASURED tick durations:
+    acceptance that beats the static threshold must still disable
+    speculation when a spec tick costs 2x a plain tick (the ORCA
+    in-kernel-injection regime, where verify attends the audio K/V at
+    every draft position), and a probe must clear the cost-aware bar
+    (be * 1.10) to re-enable."""
+    eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=64,
+                                   max_new_tokens=4, ctx_bucket=64)
+    eng.adaptive_spec = True  # decision math is model-independent
+    eng._spec_live, eng._spec_probing = True, False
+    eng._spec_ema = 1.5
+    eng._dur_ema = {"spec": None, "plain": None}
+    for _ in range(10):
+        eng._spec_controller_update(1.5)
+    assert eng._spec_live  # 1.5 acceptance > static 1.12 bar
+    eng._dur_ema = {"spec": 0.020, "plain": 0.010}  # be = 2.0
+    for _ in range(10):
+        eng._spec_controller_update(1.5)
+    assert not eng._spec_live  # 1.5 < 2.0*0.98: spec loses, disable
+    eng._spec_probing = True
+    eng._spec_controller_update(2.5)
+    assert eng._spec_live  # probe at 2.5 > 2.0*1.10 re-enables
+    eng._spec_live, eng._spec_probing = False, True
+    eng._spec_controller_update(1.8)
+    assert not eng._spec_live  # 1.8 < 2.2 probe bar stays off
 
 
 def test_engine_speculative_fallback_when_unsupported(model):
