@@ -75,6 +75,31 @@ def _backend_alive(attempts: int = 5, probe_timeout_s: int = 180) -> bool:
     return False
 
 
+_TRANSIENT = ("Broken pipe", "Network Error", "UNAVAILABLE",
+              "transport:", "Connection reset", "EOF")
+
+
+def _section(detail, errkey, fn, *args, **kwargs):
+    """Run one bench section; retry ONCE if the failure looks like a
+    transient tunnel error (the r4 canonical run lost its whole ORCA
+    section to a single 'Broken pipe (os error 32)' mid-compile)."""
+    import sys
+    for attempt in (0, 1):
+        try:
+            detail.update(fn(*args, **kwargs))
+            detail.pop(errkey, None)
+            return
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {e}"
+            detail[errkey] = msg[:200]
+            if attempt == 0 and any(t in msg for t in _TRANSIENT):
+                print(f"{errkey}: transient tunnel error, retrying once",
+                      file=sys.stderr)
+                time.sleep(20)
+                continue
+            return
+
+
 def main():
     if not _backend_alive():
         print(json.dumps({
@@ -179,23 +204,14 @@ def main():
         del enc_q
     except Exception as e:  # noqa: BLE001
         detail["perception_int8_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        detail.update(bench_decode_and_ttft(
-            rtt, enc_params, conn_params, cfg, x0[:1]))
-    except Exception as e:  # noqa: BLE001
-        detail["decode_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        detail.update(bench_orca_decode(rtt))
-    except Exception as e:  # noqa: BLE001
-        detail["orca_error"] = f"{type(e).__name__}: {e}"[:200]
+    _section(detail, "decode_error", bench_decode_and_ttft,
+             rtt, enc_params, conn_params, cfg, x0[:1])
+    _section(detail, "orca_error", bench_orca_decode, rtt)
 
     # free the perception benchmark's params before the train bench
     # allocates its own flagship towers
     del enc_params, conn_params
-    try:
-        detail.update(bench_train(rtt))
-    except Exception as e:  # noqa: BLE001
-        detail["train_error"] = f"{type(e).__name__}: {e}"[:200]
+    _section(detail, "train_error", bench_train, rtt)
 
     print(json.dumps({
         "metric": "audio-sec/s/chip (pallas-mel + whisper-large-v3 encoder "
@@ -390,10 +406,7 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
         del enc_q
     except Exception as e:  # noqa: BLE001
         out["ttft_int8enc_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
-        out.update(bench_serving(rtt, lp, llm_cfg))
-    except Exception as e:  # noqa: BLE001
-        out["serving_error"] = f"{type(e).__name__}: {e}"[:200]
+    _section(out, "serving_error", bench_serving, rtt, lp, llm_cfg)
     return out
 
 

@@ -177,6 +177,22 @@ def _enc_self_attn(p: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     if not (_packed_attn_enabled() and packed_supported(n_heads, D)
             and x.shape[1] >= 512):
         return _attn(p, x, x, n_heads)
+    from ..ops.quant import is_quantized
+    if is_quantized(p["q"]):
+        # encoder_quant="int8" with attention projections quantized: the
+        # fused-quant kernels (ops/w8a8_proj.py) do the per-row act quant
+        # IN-KERNEL — the per-op XLA int8 path's quant epilogues broke
+        # fusion around the attention kernel and measured slower
+        # (MEASURED-WORSE r2, 175 vs 166 ms b8)
+        from ..ops.w8a8_proj import proj_w8a8, proj_w8a8_supported, qkv_w8a8
+        if proj_w8a8_supported(D, p["q"]["q"].shape[1], x.dtype):
+            bpm = int(os.environ.get("DESTA_ENC_PROJ_BM", "0")) or 512
+            q, k, v = qkv_w8a8(x, p["q"], p["k"], p["v"], block_m=bpm)
+            default_bq = 768 if x.shape[0] == 1 else 512
+            bq = int(os.environ.get("DESTA_ENC_BQ", "0")) or default_bq
+            out = packed_encoder_attention(q, k, v, n_heads, block_q=bq)
+            return proj_w8a8(out, p["o"], block_m=bpm)
+        return _attn(p, x, x, n_heads)  # XLA int8 fallback off-TPU
     q = linear(p["q"], x)
     k = linear(p["k"], x)
     v = linear(p["v"], x)

@@ -124,6 +124,18 @@ def main():
     timed("mel+encoder+qformer (B=1)", scan_over(perc_body), enc_params,
           conn_params, audio, rtt=rtt)
 
+    # stage 3b/3c: int8 encoder variants (FFN-only vs FFN+attention)
+    from desta25_audio_tpu.ops.quant import quantize_encoder_params
+    enc_q = jax.jit(quantize_encoder_params)(enc_params)
+    enc_qa = jax.jit(
+        lambda p: quantize_encoder_params(p, include_attention=True)
+    )(enc_params)
+    jax.block_until_ready((enc_q, enc_qa))
+    timed("mel+enc(int8 ffn)+qformer (B=1)", scan_over(perc_body), enc_q,
+          conn_params, audio, rtt=rtt)
+    timed("mel+enc(int8 ffn+attn)+qformer (B=1)", scan_over(perc_body),
+          enc_qa, conn_params, audio, rtt=rtt)
+
     # stage 4: prefill alone (embeds ready), full-sequence head
     embeds = jax.random.normal(jax.random.PRNGKey(3),
                                (1, T_CTX, llm_cfg.hidden_size),
@@ -154,6 +166,28 @@ def main():
         return jnp.sum(lg[0, -1])
     timed("prefill 128ctx (last-tok head)", scan_over(prefill_lt_body),
           lp, embeds, rtt=rtt)
+
+    # stage 5b: prefill layer stack only (no head) + head only at M=1
+    def prefill_nohead_body(i, p, e):
+        cache = jllm.init_kv_cache(llm_cfg, 1, T_CTX + 8,
+                                   dtype=jnp.bfloat16)
+        mask = jnp.ones((1, T_CTX + 8), jnp.int32)
+        _, _, hidden = jllm.llm_apply(
+            p, llm_cfg, inputs_embeds=e + i * 1e-6, attention_mask=mask,
+            cache=cache, cache_index=0, skip_head=True,
+            return_hidden=True)
+        return jnp.sum(hidden[0, -1].astype(jnp.float32))
+    timed("prefill 128ctx (no head)", scan_over(prefill_nohead_body),
+          lp, embeds, rtt=rtt)
+
+    hid1 = jax.random.normal(jax.random.PRNGKey(4),
+                             (1, 1, llm_cfg.hidden_size),
+                             jnp.bfloat16) * 0.02
+
+    def head_body(i, p, h):
+        from desta25_audio_tpu.models.llm import _head_logits
+        return jnp.sum(_head_logits(p, llm_cfg, h + i * 1e-6)[0, -1])
+    timed("head only (M=1, int8)", scan_over(head_body), lp, hid1, rtt=rtt)
 
     # stage 6: full TTFT program as bench.py builds it
     def ttft_body(i, ep, cp, p, a):
