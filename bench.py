@@ -188,9 +188,10 @@ def main():
         "batch": BATCH,
     }
     try:
-        # opt-in encoder_quant="int8" path: W8A8 fused FFN kernel
-        # (in-kernel act quant, ops/enc_ffn.encoder_ffn_w8a8) — encoder
-        # 134.7 -> 117.3 ms at b8 (scripts/ab_enc_ffn_w8a8.py)
+        # encoder_quant="int8" (the "auto" inference default): W8A8
+        # fused FFN + attention kernels (in-kernel act quant,
+        # ops/enc_ffn + ops/w8a8_proj) — encoder 138 -> 122 ms at b8,
+        # 18.8 -> 13.8 ms at B=1 (scripts/ab_enc_attn_w8a8.py)
         from desta25_audio_tpu.ops.quant import quantize_encoder_params
         enc_q = jax.jit(quantize_encoder_params)(enc_params)
         jax.block_until_ready(enc_q)
@@ -348,36 +349,35 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
         return jnp.argmax(_head_logits(llm_p, llm_cfg, hidden[:, -1:]
                                        )[0, -1])
 
+    # Deployment-default encoder (encoder_quant="auto" -> int8 at the
+    # inference entrypoints): W8A8 fused FFN + attention kernels, B=1
+    # encoder 18.8 -> 13.8 ms (scripts/ab_enc_attn_w8a8.py).  The
+    # headline TTFT measures this default; bf16 is the opt-out detail.
+    from desta25_audio_tpu.ops.quant import quantize_encoder_params
+    enc_q = jax.jit(quantize_encoder_params)(enc_params)
+    jax.block_until_ready(enc_q)
     g = jax.jit(ttft)
-    int(g(enc_params, conn8, lp, clip1))
-    samples = []
-    for _ in range(7):
-        t0 = time.time()
-        int(g(enc_params, conn8, lp, clip1))
-        samples.append(time.time() - t0 - rtt)
-    samples.sort()
-    p50 = samples[len(samples) // 2]
+
+    def ttft_p50(ep):
+        int(g(ep, conn8, lp, clip1))
+        samples = []
+        for _ in range(7):
+            t0 = time.time()
+            int(g(ep, conn8, lp, clip1))
+            samples.append(time.time() - t0 - rtt)
+        samples.sort()
+        return samples[len(samples) // 2]
+
     out = {
         "decode_tok_s_per_chip_llama8b_int8_b8": round(decode_results[8], 1),
         "decode_tok_s_per_chip_llama8b_int8_b32": round(decode_results[32],
                                                         1),
-        "ttft_p50_ms_single_clip_llama8b_int8": round(p50 * 1e3, 2),
+        "ttft_p50_ms_single_clip_llama8b_int8": round(ttft_p50(enc_q) * 1e3,
+                                                      2),
     }
     try:
-        # opt-in encoder_quant="int8": B=1 encoder 19.7 -> 15.2 ms via the
-        # W8A8 fused FFN kernel (scripts/ab_enc_ffn_w8a8.py)
-        from desta25_audio_tpu.ops.quant import quantize_encoder_params
-        enc_q = jax.jit(quantize_encoder_params)(enc_params)
-        jax.block_until_ready(enc_q)
-        int(g(enc_q, conn8, lp, clip1))
-        qsamples = []
-        for _ in range(7):
-            t0 = time.time()
-            int(g(enc_q, conn8, lp, clip1))
-            qsamples.append(time.time() - t0 - rtt)
-        qsamples.sort()
-        out["ttft_int8enc_p50_ms"] = round(
-            qsamples[len(qsamples) // 2] * 1e3, 2)
+        # bf16-encoder reference point (encoder_quant="none" opt-out)
+        out["ttft_bf16enc_p50_ms"] = round(ttft_p50(enc_params) * 1e3, 2)
 
         # device-program TTFT: the same program scan-amortized inside one
         # jit — excludes per-dispatch host/tunnel overhead (~2-5 ms here
@@ -392,8 +392,8 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
             acc, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(DITERS))
             return acc
 
-        for name, ep in (("ttft_device_p50_ms", enc_params),
-                         ("ttft_int8enc_device_p50_ms", enc_q)):
+        for name, ep in (("ttft_device_p50_ms", enc_q),
+                         ("ttft_bf16enc_device_p50_ms", enc_params)):
             gm = jax.jit(ttft_many)
             int(gm(ep, conn8, lp, clip1))
             dsamples = []
@@ -405,7 +405,7 @@ def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
             out[name] = round(dsamples[len(dsamples) // 2] * 1e3, 2)
         del enc_q
     except Exception as e:  # noqa: BLE001
-        out["ttft_int8enc_error"] = f"{type(e).__name__}: {e}"[:200]
+        out["ttft_bf16enc_error"] = f"{type(e).__name__}: {e}"[:200]
     _section(out, "serving_error", bench_serving, rtt, lp, llm_cfg)
     return out
 

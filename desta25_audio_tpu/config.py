@@ -350,10 +350,15 @@ class DeSTA25Config:
     # int8 is the only way the 8B flagship fits one 16 GB v5e chip; decode
     # routes through the fused Pallas dequant kernel (ops/fused_decode.py).
     llm_quant: str = "none"
-    # Activation-dynamic int8 for the frozen whisper encoder ("none" |
-    # "int8"): int8xint8 MXU matmuls (~2x bf16 on v5e) with per-token
-    # activation scales. Inference-speed option; the encoder never trains.
-    encoder_quant: str = "none"
+    # Activation-dynamic int8 for the frozen whisper encoder ("auto" |
+    # "none" | "int8"): int8xint8 MXU matmuls (~2x bf16 on v5e) with
+    # per-token activation scales (W8A8 fused kernels, numerics <=2% of
+    # scale).  "auto" (default) resolves to int8 at the inference
+    # entrypoints (from_pretrained -> generate/serve/evaluate; encoder
+    # fwd B=1 18.8 -> 13.8 ms, the TTFT lever) and to none for training
+    # and direct construction, so training numerics and parity tests
+    # match the bf16 reference.  The encoder never trains either way.
+    encoder_quant: str = "auto"
     # Weight-only int8 for the ORCA gated cross-attention stack ("none"
     # | "int8").  INFERENCE ONLY (the stack normally trains): halves
     # the per-step injection weight stream AND lets the gated
@@ -361,6 +366,13 @@ class DeSTA25Config:
     # (ops/fused_decode fused_injection), which also re-opens
     # speculative decoding for ORCA models.
     orca_xattn_quant: str = "none"
+
+    def resolved_encoder_quant(self, inference: bool) -> str:
+        """Resolve encoder_quant="auto": int8 on the inference path
+        (from_pretrained), none for training / direct construction."""
+        if self.encoder_quant == "auto":
+            return "int8" if inference else "none"
+        return self.encoder_quant
 
     @property
     def lora_scale(self) -> float:

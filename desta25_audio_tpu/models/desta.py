@@ -112,7 +112,7 @@ class DeSTA25AudioModel:
         if self.config.llm_quant == "int8":
             from ..ops.quant import quantize_llm_params
             params["llm"] = quantize_llm_params(params["llm"])
-        if self.config.encoder_quant == "int8":
+        if self.config.resolved_encoder_quant(inference=False) == "int8":
             from ..ops.quant import quantize_encoder_params
             params["whisper"]["encoder"] = quantize_encoder_params(
                 params["whisper"]["encoder"])
@@ -778,7 +778,8 @@ class DeSTA25AudioModel:
                 loaded = load_frozen_tower(
                     tower, model_id, weights_root, config, model.dtype,
                     quant=(config.llm_quant if tower == "llm"
-                           else config.encoder_quant))
+                           else config.resolved_encoder_quant(
+                               inference=True)))
                 if loaded is not None:
                     model.params[tower] = loaded
                 else:
@@ -816,13 +817,29 @@ class DeSTA25AudioModel:
                             tower, model_id, weights_root, config,
                             model.dtype,
                             quant=(config.llm_quant if tower == "llm"
-                                   else config.encoder_quant))
+                                   else config.resolved_encoder_quant(
+                                       inference=True)))
                         if loaded is not None:
                             model.params[tower] = loaded
                 model.params = load_trainable_safetensors(
                     model.params, config, st)
         model._apply_orca_xattn_quant()
+        model._apply_inference_encoder_quant()
         return model
+
+    def _apply_inference_encoder_quant(self) -> None:
+        """encoder_quant="auto" resolves to int8 on the inference path:
+        quantize the (frozen, never-trained) encoder unless the loader
+        already delivered int8 leaves.  W8A8 fused kernels: encoder fwd
+        B=1 18.8 -> 13.8 ms on v5e — the TTFT lever (VERDICT r3 #3)."""
+        if self.config.resolved_encoder_quant(inference=True) != "int8":
+            return
+        enc = self.params["whisper"]["encoder"]
+        if "q" in enc["layers"]["fc1"]:  # loader already quantized
+            return
+        from ..ops.quant import quantize_encoder_params
+        self.params["whisper"]["encoder"] = jax.jit(
+            quantize_encoder_params)(enc)
 
     def _apply_orca_xattn_quant(self) -> None:
         """config.orca_xattn_quant="int8": quantize the gated

@@ -276,21 +276,28 @@ def _quantize_stacked_linear(p: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def quantize_encoder_params(params: Dict[str, Any],
-                            include_attention: bool = False
+                            include_attention: bool = True
                             ) -> Dict[str, Any]:
-    """Quantize the whisper encoder's FFN matmuls (fc1/fc2, batched over
-    the stacked layer axis) to int8.
+    """Quantize the whisper encoder's matmul weights (FFN fc1/fc2 and,
+    by default, the attention q/k/v/o projections) to int8, batched over
+    the stacked layer axis.
 
     Conv stem, positional table, and LayerNorms stay bf16 (tiny).  The
     encoder is frozen in both training and inference (reference
     modeling_desta25.py:1439-1463), so this is a pure inference-speed
-    option — enable with ``encoder_quant: int8``.
+    option — enable with ``encoder_quant: int8`` (the inference default
+    via ``encoder_quant: auto``).
 
-    ``include_attention=False`` is deliberate: quantizing the q/k/v/o
-    projections measured SLOWER end-to-end on v5e (175 vs 166 ms at b8)
-    despite the isolated-matmul win — the dyn-quant epilogue breaks
-    XLA's fusion around the attention kernel and the N=1280 shapes don't
-    amortize the per-row quant passes.  FFN-only measured 144 -> 138 ms.
+    ``include_attention`` history: the r2 XLA dyn-int8 wiring of q/k/v/o
+    measured SLOWER end-to-end on v5e (175 vs 166 ms at b8 — the
+    per-op quant epilogues broke fusion around the attention kernel).
+    The r4 fused-quant kernels (ops/w8a8_proj.py, act quant in-launch)
+    reversed that at the latency shapes: encoder fwd B=1
+    18.8 (bf16) / 15.2 (ffn-only) / **13.8 ms** (ffn+attn); at b8
+    138.1 / 120.6 / 122.5 ms (scripts/ab_enc_attn_w8a8.py, v5e
+    2026-08-19).  ffn+attn is the default — the 1.6% b8 give-back is
+    within tunnel run-to-run spread, and B=1 perception is the TTFT
+    lever; pass ``include_attention=False`` for throughput-only fleets.
     """
     out = dict(params)
     layers = dict(params["layers"])

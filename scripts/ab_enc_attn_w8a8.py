@@ -52,7 +52,8 @@ def main():
     enc = random_tree_like(
         key, lambda k: jw.init_whisper_encoder(k, enc_cfg,
                                                dtype=jnp.bfloat16))
-    enc_ffn = jax.jit(quantize_encoder_params)(enc)
+    enc_ffn = jax.jit(
+        lambda p: quantize_encoder_params(p, include_attention=False))(enc)
     enc_all = jax.jit(
         lambda p: quantize_encoder_params(p, include_attention=True))(enc)
     jax.block_until_ready((enc, enc_ffn, enc_all))

@@ -126,7 +126,9 @@ def main():
 
     # stage 3b/3c: int8 encoder variants (FFN-only vs FFN+attention)
     from desta25_audio_tpu.ops.quant import quantize_encoder_params
-    enc_q = jax.jit(quantize_encoder_params)(enc_params)
+    enc_q = jax.jit(
+        lambda p: quantize_encoder_params(p, include_attention=False)
+    )(enc_params)
     enc_qa = jax.jit(
         lambda p: quantize_encoder_params(p, include_attention=True)
     )(enc_params)

@@ -76,7 +76,7 @@ def main():
     ep = random_tree_like(
         key, lambda k: jw.init_whisper_encoder(k, enc_cfg,
                                                dtype=jnp.bfloat16))
-    ep_q = quantize_encoder_params(ep)
+    ep_q = quantize_encoder_params(ep, include_attention=False)
     jax.block_until_ready((ep, ep_q))
     print("init done", file=sys.stderr)
     rtt = measure_rtt()
