@@ -186,7 +186,12 @@ def _enc_self_attn(p: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
         # (MEASURED-WORSE r2, 175 vs 166 ms b8)
         from ..ops.w8a8_proj import proj_w8a8, proj_w8a8_supported, qkv_w8a8
         if proj_w8a8_supported(D, p["q"]["q"].shape[1], x.dtype):
-            bpm = int(os.environ.get("DESTA_ENC_PROJ_BM", "0")) or 512
+            # scripts/sweep_w8a8_proj_b1.py (v5e): B=1 13.57 ms at
+            # bpm=768 vs 13.99 at 512; b8 measured with 512 (A/B) —
+            # batch-adaptive like block_q below
+            default_bpm = 768 if x.shape[0] == 1 else 512
+            bpm = int(os.environ.get("DESTA_ENC_PROJ_BM", "0")
+                      ) or default_bpm
             q, k, v = qkv_w8a8(x, p["q"], p["k"], p["v"], block_m=bpm)
             default_bq = 768 if x.shape[0] == 1 else 512
             bq = int(os.environ.get("DESTA_ENC_BQ", "0")) or default_bq

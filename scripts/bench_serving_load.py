@@ -105,6 +105,14 @@ def build_model(orca: bool = False):
         from desta25_audio_tpu.ops.quant import quantize_orca_cross_attns
         params["orca_cross_attns"] = jax.jit(quantize_orca_cross_attns)(
             params["orca_cross_attns"])
+    # serving deployment default (encoder_quant="auto" -> int8 at the
+    # inference entry): W8A8 fused FFN+attention encoder — B=1/arrival
+    # perception is the TTFT-under-load lever
+    from desta25_audio_tpu.ops.quant import quantize_encoder_params
+    params = dict(params)
+    params["whisper"] = dict(params["whisper"])
+    params["whisper"]["encoder"] = jax.jit(quantize_encoder_params)(
+        params["whisper"]["encoder"])
     jax.block_until_ready(params)
     return DeSTA25AudioModel(cfg, params=params,
                              tokenizer=CharTokenizer())

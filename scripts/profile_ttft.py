@@ -212,6 +212,30 @@ def main():
     timed("full TTFT program", scan_over(ttft_body), enc_params,
           conn_params, lp, audio, rtt=rtt)
 
+    # stage 7: the deployed default — int8 ffn+attn encoder, last-token
+    # head (what bench.py's headline ttft_p50 measures single-shot)
+    def ttft_def_body(i, ep, cp, p, a):
+        m = log_mel_pallas(a + i * 1e-6,
+                           enc_cfg.num_mel_bins).astype(jnp.bfloat16)
+        _, taps = jw.whisper_encoder_apply(ep, m, enc_cfg,
+                                           cfg.target_layer_ids)
+        feats = qformer_connector_apply(cp, taps, cfg)
+        ids = jnp.ones((1, T_CTX), jnp.int32)
+        e = jllm.embed_tokens(p, ids)
+        e = jax.lax.dynamic_update_slice(
+            e, feats.astype(e.dtype), (0, 4, 0))
+        cache = jllm.init_kv_cache(llm_cfg, 1, T_CTX + 8,
+                                   dtype=jnp.bfloat16)
+        mask = jnp.ones((1, T_CTX + 8), jnp.int32)
+        _, _, hidden = jllm.llm_apply(
+            p, llm_cfg, inputs_embeds=e, attention_mask=mask,
+            cache=cache, cache_index=0, skip_head=True,
+            return_hidden=True)
+        from desta25_audio_tpu.models.llm import _head_logits
+        return jnp.sum(_head_logits(p, llm_cfg, hidden[:, -1:])[0, -1])
+    timed("full TTFT program (int8 enc default)", scan_over(ttft_def_body),
+          enc_qa, conn_params, lp, audio, rtt=rtt)
+
 
 if __name__ == "__main__":
     main()

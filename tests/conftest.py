@@ -47,7 +47,12 @@ if os.environ.get("DESTA_TEST_TPU") != "1":
     _cache_root = os.path.join(
         _cache_root, "cpu-" + hashlib.sha1(_flags.encode()).hexdigest()[:12])
 jax.config.update("jax_compilation_cache_dir", _cache_root)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Cache EVERY compile: profiling one spec-serving test showed 47 small
+# (~0.2 s) CPU compiles = ~10 s/test never cached under the 0.5 s
+# threshold; across the suite that is minutes of re-compiling identical
+# engine/decode programs every run.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture()
