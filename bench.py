@@ -22,6 +22,7 @@ once, and subtracts the RTT (measured with a trivial program).
 
 import json
 import os
+import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -37,6 +38,69 @@ jax.config.update("jax_compilation_cache_dir",
 BATCH = 8
 ITERS = 10
 CLIP_SECONDS = 30
+
+# ---------------------------------------------------------------------------
+# Global wall-clock budget (VERDICT r4 #1): BENCH_r04 died rc=124 in a
+# 312 s cold remote compile and printed NOTHING.  The one JSON line must
+# print on EVERY exit path:
+#  - sections are ordered headline-first and checked against the budget
+#    before starting (skipped ones are listed in detail.skipped_sections);
+#  - a daemon watchdog emits whatever has been measured so far and
+#    hard-exits if even a single remote compile blocks past budget+grace
+#    (block_until_ready can't be interrupted from Python).
+# ---------------------------------------------------------------------------
+
+_START = time.time()
+_BUDGET_S = float(os.environ.get("DESTA_BENCH_BUDGET_S", "720"))
+_WATCHDOG_GRACE_S = 60.0
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+# mutated in place as sections complete; the watchdog reads it
+_RESULT = {
+    "metric": "audio-sec/s/chip (pallas-mel + whisper-large-v3 encoder "
+              "+ qformer-6L, bf16, batch 8)",
+    "value": 0.0,
+    "unit": "audio-sec/s/chip",
+    "vs_baseline": None,
+    "detail": {},
+}
+
+
+def _elapsed() -> float:
+    return time.time() - _START
+
+
+def _over_budget() -> bool:
+    return _elapsed() > _BUDGET_S
+
+
+def _emit() -> None:
+    """Print the one JSON line exactly once (main path or watchdog)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        _RESULT["detail"]["elapsed_s"] = round(_elapsed(), 1)
+        print(json.dumps(_RESULT), flush=True)
+
+
+def _watchdog_main() -> None:
+    deadline = _START + _BUDGET_S + _WATCHDOG_GRACE_S
+    while time.time() < deadline:
+        if _EMITTED:
+            return
+        time.sleep(2.0)
+    if not _EMITTED:
+        _RESULT["detail"]["watchdog_fired"] = (
+            f"budget {_BUDGET_S:.0f}s + grace exceeded; emitting partial "
+            "results and hard-exiting (a remote compile was likely still "
+            "blocked)")
+        _emit()
+        os._exit(0)
+
+
+threading.Thread(target=_watchdog_main, daemon=True).start()
 
 
 def measure_rtt() -> float:
@@ -61,6 +125,10 @@ def _backend_alive(attempts: int = 5, probe_timeout_s: int = 180) -> bool:
     import subprocess
     import sys as _sys
     for i in range(attempts):
+        # leave the watchdog room to emit an honest "tunnel wedged" error
+        # instead of firing mid-probe with an empty detail dict
+        if _elapsed() + probe_timeout_s > _BUDGET_S * 0.8:
+            return False
         try:
             r = subprocess.run(
                 [_sys.executable, "-c",
@@ -82,8 +150,17 @@ _TRANSIENT = ("Broken pipe", "Network Error", "UNAVAILABLE",
 def _section(detail, errkey, fn, *args, **kwargs):
     """Run one bench section; retry ONCE if the failure looks like a
     transient tunnel error (the r4 canonical run lost its whole ORCA
-    section to a single 'Broken pipe (os error 32)' mid-compile)."""
+    section to a single 'Broken pipe (os error 32)' mid-compile).
+
+    Budget-aware (VERDICT r4 #1): a section is skipped outright when the
+    global wall-clock budget is spent — the headline JSON line matters
+    more than any one detail section."""
     import sys
+    if _over_budget():
+        detail.setdefault("skipped_sections", []).append(errkey[:-6])
+        print(f"budget spent ({_elapsed():.0f}s > {_BUDGET_S:.0f}s); "
+              f"skipping section {errkey[:-6]}", file=sys.stderr)
+        return
     for attempt in (0, 1):
         try:
             detail.update(fn(*args, **kwargs))
@@ -101,21 +178,22 @@ def _section(detail, errkey, fn, *args, **kwargs):
 
 
 def main():
+    detail = _RESULT["detail"]
     if not _backend_alive():
-        print(json.dumps({
-            "metric": "audio-sec/s/chip (pallas-mel + whisper-large-v3 "
-                      "encoder + qformer-6L, bf16, batch 8)",
-            "value": 0,
-            "unit": "audio-sec/s/chip",
-            "vs_baseline": None,
-            "detail": {
-                "error": "TPU backend init timed out (axon tunnel wedge "
-                         "— see CLAUDE.md); last good driver run: see "
-                         "BENCH_r02.json and docs/perf_roofline.md "
-                         "round-3 headline numbers",
-            },
-        }))
+        detail["error"] = (
+            "TPU backend init timed out (axon tunnel wedge — see "
+            "CLAUDE.md); last good driver run: see BENCH_r03.json and "
+            "docs/perf_roofline.md headline numbers")
+        _emit()
         return
+    try:
+        _headline_and_sections(detail)
+    except Exception as e:  # noqa: BLE001
+        detail["error"] = f"{type(e).__name__}: {e}"[:300]
+    _emit()
+
+
+def _headline_and_sections(detail):
     from desta25_audio_tpu.config import DeSTA25Config
     from desta25_audio_tpu.models import whisper as jw
     from desta25_audio_tpu.models.qformer import (
@@ -180,14 +258,18 @@ def main():
     per_iter = max((total - rtt) / ITERS, 1e-9)
     audio_sec_per_s = BATCH * CLIP_SECONDS / per_iter
 
-    detail = {
+    # headline lands in _RESULT immediately: from here on the watchdog
+    # can emit a meaningful line even if a later section blocks forever
+    _RESULT["value"] = round(audio_sec_per_s, 1)
+    detail.update({
         "ms_per_batch": round(per_iter * 1e3, 3),
         "platform": jax.devices()[0].platform,
         "rtt_s": round(rtt, 4),
         "iters": ITERS,
         "batch": BATCH,
-    }
-    try:
+    })
+
+    def perception_int8():
         # encoder_quant="int8" (the "auto" inference default): W8A8
         # fused FFN + attention kernels (in-kernel act quant,
         # ops/enc_ffn + ops/w8a8_proj) — encoder 138 -> 122 ms at b8,
@@ -200,11 +282,10 @@ def main():
         t0 = time.time()
         float(fq(enc_q, conn_params, x0))
         per_iter_q = max((time.time() - t0 - rtt) / ITERS, 1e-9)
-        detail["perception_int8_audio_sec_s"] = round(
-            BATCH * CLIP_SECONDS / per_iter_q, 1)
-        del enc_q
-    except Exception as e:  # noqa: BLE001
-        detail["perception_int8_error"] = f"{type(e).__name__}: {e}"[:200]
+        return {"perception_int8_audio_sec_s": round(
+            BATCH * CLIP_SECONDS / per_iter_q, 1)}
+
+    _section(detail, "perception_int8_error", perception_int8)
     _section(detail, "decode_error", bench_decode_and_ttft,
              rtt, enc_params, conn_params, cfg, x0[:1])
     _section(detail, "orca_error", bench_orca_decode, rtt)
@@ -213,15 +294,6 @@ def main():
     # allocates its own flagship towers
     del enc_params, conn_params
     _section(detail, "train_error", bench_train, rtt)
-
-    print(json.dumps({
-        "metric": "audio-sec/s/chip (pallas-mel + whisper-large-v3 encoder "
-                  "+ qformer-6L, bf16, batch 8)",
-        "value": round(audio_sec_per_s, 1),
-        "unit": "audio-sec/s/chip",
-        "vs_baseline": None,
-        "detail": detail,
-    }))
 
 
 def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
