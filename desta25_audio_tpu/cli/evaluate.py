@@ -39,6 +39,21 @@ def load_items(path: str, data_root: str = ""):
     return items
 
 
+def parse_overrides(pairs):
+    """``["encoder_quant=none", "llm_quant=int8"]`` -> config-override
+    dict; values parse as JSON (numbers/bools/null) falling back to str."""
+    overrides = {}
+    for ov in pairs:
+        key, sep, val = ov.partition("=")
+        if not sep:
+            raise SystemExit(f"--override expects KEY=VALUE, got {ov!r}")
+        try:
+            overrides[key] = json.loads(val)
+        except json.JSONDecodeError:
+            overrides[key] = val
+    return overrides
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--benchmark", choices=["mmau", "sakura"],
@@ -51,12 +66,21 @@ def main(argv=None):
     parser.add_argument("--judge-model", default=None)
     parser.add_argument("--max-new-tokens", type=int, default=256)
     parser.add_argument("--limit", type=int, default=-1)
+    parser.add_argument("--override", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="DeSTA25Config field override applied after "
+                             "the checkpoint's config.json loads, e.g. "
+                             "--override encoder_quant=none (repeatable; "
+                             "values parsed as JSON, falling back to str)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
 
+    overrides = parse_overrides(args.override)
+
     from ..models.desta import DeSTA25AudioModel
-    model = DeSTA25AudioModel.from_pretrained(args.model)
+    model = DeSTA25AudioModel.from_pretrained(
+        args.model, config_overrides=overrides or None)
 
     judge = None
     if args.judge_model:

@@ -762,14 +762,23 @@ class DeSTA25AudioModel:
 
     @classmethod
     def from_pretrained(cls, path: str, weights_root: Optional[str] = None,
-                        seed: int = 0, **kwargs) -> "DeSTA25AudioModel":
+                        seed: int = 0,
+                        config_overrides: Optional[Dict[str, Any]] = None,
+                        **kwargs) -> "DeSTA25AudioModel":
         """Load config + trainable weights from ``path``; frozen Whisper/LLM
         weights come from converted HF checkpoints under ``weights_root``
         (or env DESTA_TPU_WEIGHTS), falling back to random init with a
-        warning (hub access is not assumed)."""
+        warning (hub access is not assumed).
+
+        ``config_overrides`` replaces DeSTA25Config fields after the
+        checkpoint's config.json loads — e.g. ``{"encoder_quant": "none"}``
+        for the runbook's int8-vs-bf16 MMAU gate (docs/real_weights.md §6b)
+        without editing the checkpoint."""
         from ..ckpt.desta_io import load_frozen_tower, load_trainable_safetensors
         with open(os.path.join(path, "config.json")) as f:
             config = DeSTA25Config.from_json(f.read())
+        if config_overrides:
+            config = dataclasses.replace(config, **config_overrides)
         model = cls(config, seed=seed, **kwargs)
         weights_root = weights_root or os.environ.get("DESTA_TPU_WEIGHTS")
         if weights_root:

@@ -178,7 +178,18 @@ def _enc_self_attn(p: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
             and x.shape[1] >= 512):
         return _attn(p, x, x, n_heads)
     from ..ops.quant import is_quantized
-    if is_quantized(p["q"]):
+    # Shape-aware int8-attention dispatch (VERDICT r4 #3): with "dual"
+    # leaves (int8 "q"/"s" + bf16 "w", ops/quant.quantize_encoder_params)
+    # the W8A8 kernels run only where they win — small batch (B=1 TTFT:
+    # 13.8 vs 15.2 ms) — while batched perception keeps the bf16 packed
+    # path (b8: 120.6 vs 122.5 ms).  Crossover batch is the trace-time
+    # constant DESTA_ENC_ATTN_INT8_MAXB (default from the v5e sweep in
+    # scripts/sweep_attn_int8_crossover.py).
+    use_int8_attn = is_quantized(p["q"]) and (
+        "w" not in p["q"]  # pure-int8 leaves: no bf16 arm to fall back to
+        or x.shape[0] <= int(os.environ.get("DESTA_ENC_ATTN_INT8_MAXB",
+                                            "1")))
+    if use_int8_attn:
         # encoder_quant="int8" with attention projections quantized: the
         # fused-quant kernels (ops/w8a8_proj.py) do the per-row act quant
         # IN-KERNEL — the per-op XLA int8 path's quant epilogues broke

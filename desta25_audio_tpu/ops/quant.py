@@ -276,8 +276,8 @@ def _quantize_stacked_linear(p: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def quantize_encoder_params(params: Dict[str, Any],
-                            include_attention: bool = True
-                            ) -> Dict[str, Any]:
+                            include_attention: bool = None,
+                            attention: str = "dual") -> Dict[str, Any]:
     """Quantize the whisper encoder's matmul weights (FFN fc1/fc2 and,
     by default, the attention q/k/v/o projections) to int8, batched over
     the stacked layer axis.
@@ -288,23 +288,38 @@ def quantize_encoder_params(params: Dict[str, Any],
     option — enable with ``encoder_quant: int8`` (the inference default
     via ``encoder_quant: auto``).
 
-    ``include_attention`` history: the r2 XLA dyn-int8 wiring of q/k/v/o
+    ``attention`` history: the r2 XLA dyn-int8 wiring of q/k/v/o
     measured SLOWER end-to-end on v5e (175 vs 166 ms at b8 — the
     per-op quant epilogues broke fusion around the attention kernel).
     The r4 fused-quant kernels (ops/w8a8_proj.py, act quant in-launch)
     reversed that at the latency shapes: encoder fwd B=1
     18.8 (bf16) / 15.2 (ffn-only) / **13.8 ms** (ffn+attn); at b8
-    138.1 / 120.6 / 122.5 ms (scripts/ab_enc_attn_w8a8.py, v5e
-    2026-08-19).  ffn+attn is the default — the 1.6% b8 give-back is
-    within tunnel run-to-run spread, and B=1 perception is the TTFT
-    lever; pass ``include_attention=False`` for throughput-only fleets.
+    138.1 / 120.6 / **122.5 ms** (ffn+attn, scripts/ab_enc_attn_w8a8.py,
+    v5e 2026-08-19).  One arm is the wrong default for one of the two
+    shapes, so ``attention="dual"`` (the default, VERDICT r4 #3) keeps
+    BOTH the int8 copy and the original bf16 ``w`` on each attention
+    leaf (+~210 MB int8 for whisper-large-v3) and lets
+    models/whisper._enc_self_attn dispatch per runtime batch: small B
+    (TTFT) runs the fused W8A8 kernels, large B (batched serving) the
+    bf16 packed path.  ``attention="int8"`` / ``"none"`` (or the legacy
+    ``include_attention`` bool) force a single arm for A/Bs and
+    memory-constrained fleets.
     """
+    if include_attention is not None:
+        attention = "int8" if include_attention else "none"
+    if attention not in ("dual", "int8", "none"):
+        raise ValueError(f"attention={attention!r}")
     out = dict(params)
     layers = dict(params["layers"])
-    if include_attention:
+    if attention != "none":
         attn = dict(layers["attn"])
         for k in ("q", "k", "v", "o"):
-            attn[k] = _quantize_stacked_linear(attn[k])
+            leaf = _quantize_stacked_linear(attn[k])
+            if attention == "dual":
+                # keep the bf16 weight alongside: ops.core.linear reads
+                # "w" (bf16 arm), the fused W8A8 kernels read "q"/"s"
+                leaf["w"] = attn[k]["w"]
+            attn[k] = leaf
         layers["attn"] = attn
     for k in ("fc1", "fc2"):
         layers[k] = _quantize_stacked_linear(layers[k])

@@ -114,7 +114,9 @@ def test_quantized_encoder_close(rng):
                             (2, enc_cfg.expected_mel_frames,
                              enc_cfg.num_mel_bins), jnp.float32)
     ref, taps_ref = jw.whisper_encoder_apply(ep, mel, enc_cfg, (0,))
-    qp = quantize_encoder_params(ep)
+    # pure-int8 attention arm (attention="dual" would read the bf16 "w"
+    # copies through ops.core.linear on CPU and test nothing)
+    qp = quantize_encoder_params(ep, attention="int8")
     got, taps = jw.whisper_encoder_apply(qp, mel, enc_cfg, (0,))
     assert got.shape == ref.shape and taps.shape == taps_ref.shape
     err = np.abs(np.asarray(got) - np.asarray(ref)).max()
@@ -134,13 +136,82 @@ def test_encoder_quant_config_wiring():
     lay = m.params["whisper"]["encoder"]["layers"]
     assert "q" in lay["fc1"] and "w" not in lay["fc1"]
     assert lay["fc1"]["q"].dtype == jnp.int8
-    # attention projections quantize too since the r4 fused-quant kernels
-    # (B=1 encoder 15.2 -> 13.8 ms, scripts/ab_enc_attn_w8a8.py)
-    assert "q" in lay["attn"]["q"] and "w" not in lay["attn"]["q"]
+    # attention projections carry DUAL leaves (VERDICT r4 #3): the int8
+    # copy for the fused W8A8 kernels at small batch (B=1 encoder
+    # 15.2 -> 13.8 ms) AND the bf16 "w" for the packed path at batch
+    # (b8 120.6 vs 122.5 ms) — models/whisper._enc_self_attn dispatches
+    # on the runtime batch.
+    assert "q" in lay["attn"]["q"] and "w" in lay["attn"]["q"]
+    assert lay["attn"]["q"]["q"].dtype == jnp.int8
     # generate still runs end-to-end on the quantized encoder
     out = m.generate(messages=[{"role": "user", "content": "hi"}],
                      max_new_tokens=4, do_sample=False)
     assert len(out.text) == 1
+
+
+def test_dual_attention_bf16_arm_is_exact(rng):
+    """attention="dual" must be a pure superset: wherever the dispatch
+    picks the bf16 arm (any CPU path; TPU at B > crossover), outputs are
+    bit-identical to the unquantized encoder's attention (only the FFN
+    differs, by int8 error)."""
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models import whisper as jw
+    from desta25_audio_tpu.ops.quant import quantize_encoder_params
+    cfg = DeSTA25Config(llm_model_id="test/llama-nano",
+                        encoder_model_id="test/whisper-nano")
+    enc_cfg = cfg.encoder_config
+    ep = jw.init_whisper_encoder(jax.random.PRNGKey(0), enc_cfg,
+                                 dtype=jnp.float32)
+    mel = jax.random.normal(jax.random.PRNGKey(1),
+                            (2, enc_cfg.expected_mel_frames,
+                             enc_cfg.num_mel_bins), jnp.float32)
+    dual = quantize_encoder_params(ep, attention="dual")
+    ffn_only = quantize_encoder_params(ep, attention="none")
+    got, _ = jw.whisper_encoder_apply(dual, mel, enc_cfg, (0,))
+    want, _ = jw.whisper_encoder_apply(ffn_only, mel, enc_cfg, (0,))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("DESTA_TEST_TPU") != "1",
+    reason="TPU-only (DESTA_TEST_TPU=1): full-scale int8 encoder numerics")
+def test_full_scale_int8_encoder_close_on_tpu():
+    """VERDICT r4 #4: the complete int8 encoder (W8A8 fused FFN +
+    attention kernels, whisper-large-v3 shapes) must stay close to bf16
+    before the runbook benchmarks it against the reference's bf16 MMAU
+    65.21 — the analogue of the W8A8-prefill closeness gate."""
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models import whisper as jw
+    from desta25_audio_tpu.ops.quant import quantize_encoder_params
+    from desta25_audio_tpu.utils.fast_init import random_tree_like
+    cfg = DeSTA25Config(llm_model_id="test/llama-nano",
+                        encoder_model_id="openai/whisper-large-v3")
+    enc_cfg = cfg.encoder_config
+    ep = random_tree_like(
+        jax.random.PRNGKey(0),
+        lambda k: jw.init_whisper_encoder(k, enc_cfg, dtype=jnp.bfloat16),
+        scale=0.02)
+    mel = (jax.random.normal(jax.random.PRNGKey(1),
+                             (1, enc_cfg.expected_mel_frames,
+                              enc_cfg.num_mel_bins)) * 0.5
+           ).astype(jnp.bfloat16)
+    taps = (3, 7)
+
+    def run(params):
+        out, tp = jw.whisper_encoder_apply(params, mel, enc_cfg, taps)
+        return out.astype(jnp.float32), tp.astype(jnp.float32)
+
+    ref, taps_ref = jax.jit(run)(ep)
+    # B=1 routes the fused W8A8 attention kernels (dual dispatch)
+    qp = jax.jit(lambda p: quantize_encoder_params(p, attention="dual"))(ep)
+    got, taps_got = jax.jit(run)(qp)
+    for g, r in ((got, ref), (taps_got, taps_ref)):
+        g, r = np.asarray(g, np.float32), np.asarray(r, np.float32)
+        err = np.abs(g - r).max()
+        scale = max(np.abs(r).max(), 1e-6)
+        # bound matches the W8A8-prefill gate's spirit: a few % of scale
+        # through 32 residual layers of int8 error
+        assert err < 0.08 * scale, (err, scale)
 
 
 def test_encoder_quant_auto_resolution(tmp_path):
@@ -173,6 +244,28 @@ def test_encoder_quant_auto_resolution(tmp_path):
         f.write(cfg_none.to_json())
     loaded2 = DeSTA25AudioModel.from_pretrained(d)
     assert "w" in loaded2.params["whisper"]["encoder"]["layers"]["fc1"]
+
+
+def test_from_pretrained_config_overrides(tmp_path):
+    """The runbook's int8-vs-bf16 MMAU gate (docs/real_weights.md §6b):
+    from_pretrained(config_overrides={"encoder_quant": "none"}) and the
+    evaluate CLI's --override flag must opt a checkpoint that defaults
+    to auto/int8 back onto the bf16 encoder without editing config.json."""
+    from desta25_audio_tpu.cli.evaluate import parse_overrides
+    from desta25_audio_tpu.config import DeSTA25Config
+    from desta25_audio_tpu.models.desta import DeSTA25AudioModel
+    assert parse_overrides(["encoder_quant=none", "audio_locator=<x>"]) == {
+        "encoder_quant": "none", "audio_locator": "<x>"}
+    with pytest.raises(SystemExit):
+        parse_overrides(["encoder_quant"])
+    cfg = DeSTA25Config(llm_model_id="test/llama-nano",
+                        encoder_model_id="test/whisper-nano")
+    d = str(tmp_path / "ck")
+    DeSTA25AudioModel(cfg, seed=0).save_pretrained(d)
+    loaded = DeSTA25AudioModel.from_pretrained(
+        d, config_overrides=parse_overrides(["encoder_quant=none"]))
+    assert loaded.config.encoder_quant == "none"
+    assert "w" in loaded.params["whisper"]["encoder"]["layers"]["fc1"]
 
 
 @pytest.mark.skipif(
