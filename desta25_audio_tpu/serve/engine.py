@@ -867,6 +867,16 @@ class ContinuousBatchingEngine:
         #5); admitted requests join the next tick.  Returns request ids
         finished during this tick."""
         expired = self._expire_deadlines()
+        if self.pipeline_ticks and self.queue:
+            # VERDICT r4 #7: admit pending arrivals BEFORE dispatching the
+            # lookahead tick so a new request's first decode rides THIS
+            # tick instead of the next (admission always trailing the
+            # dispatch cost TTFT p50 325 -> 518 ms under load).  The
+            # blocking prefill fetch briefly stalls the pipeline, but
+            # admissions are rare relative to ticks; the post-dispatch
+            # _admit_queued below still catches requests submitted
+            # concurrently during this tick.
+            self._admit_queued()
         active = [s for s in range(self.n_slots)
                   if self.slot_req[s] is not None]
         # adaptive speculation: fall back to plain ticks while measured

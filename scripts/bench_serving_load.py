@@ -60,6 +60,11 @@ PIPELINE = "--no-pipeline" not in sys.argv[1:]
 # --no-adaptive forces speculation on every tick (A/B the acceptance-
 # EMA controller)
 ADAPTIVE = "--no-adaptive" not in sys.argv[1:]
+# --repetitive: init weights at tiny scale so greedy continuations fall
+# into short cycles — the transcription-echo/JSON/list regime where the
+# bigram drafter accepts ~Kd tokens/step (same proxy as
+# scripts/bench_serving_spec.py's scale=0.001 workload)
+REPETITIVE = "--repetitive" in sys.argv[1:]
 N_SLOTS = int(ARGS[0]) if len(ARGS) > 0 else 8
 N_REQUESTS = int(ARGS[1]) if len(ARGS) > 1 else 48
 MAX_NEW = 48
@@ -98,7 +103,7 @@ def build_model(orca: bool = False):
         lambda k: DeSTA25AudioModel._init_params(shape_model, k),
         jax.random.PRNGKey(0))
     params = random_tree_like(jax.random.PRNGKey(1), lambda k: pshape,
-                              scale=0.02)
+                              scale=0.001 if REPETITIVE else 0.02)
     if orca and "orca_cross_attns" in params:
         # serving transform: int8 injection weights halve the ~2.8 GB/step
         # gated-cross-attention weight stream (ops/quant.py)
@@ -233,7 +238,8 @@ def main():
         print(f"tick mix        spec={eng._n_spec_ticks} "
               f"plain={eng._n_plain_ticks} "
               f"(adaptive={'on' if ADAPTIVE else 'off'}, "
-              f"spec_live={eng._spec_live})")
+              f"spec_live={eng._spec_live}, "
+              f"acceptance_ema={eng._spec_ema:.2f})")
 
 
 if __name__ == "__main__":
