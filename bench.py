@@ -288,12 +288,15 @@ def _headline_and_sections(detail):
     _section(detail, "perception_int8_error", perception_int8)
     _section(detail, "decode_error", bench_decode_and_ttft,
              rtt, enc_params, conn_params, cfg, x0[:1])
-    _section(detail, "orca_error", bench_orca_decode, rtt)
 
     # free the perception benchmark's params before the train bench
     # allocates its own flagship towers
     del enc_params, conn_params
+    # train runs BEFORE orca: the orca serving tick is the one program
+    # with a remote-compile pathology history (r4/r5 broken pipes), and
+    # a wedge there must not cost the train number too
     _section(detail, "train_error", bench_train, rtt)
+    _section(detail, "orca_error", bench_orca_decode, rtt)
 
 
 def bench_decode_and_ttft(rtt, enc_params, conn_params, cfg, clip1):
@@ -684,8 +687,24 @@ def bench_orca_decode(rtt):
     # engine-shaped ORCA serving tick (VERDICT r3 next #5): per-row cache
     # indices, K=8 steps/tick, mixed greedy/sampled slots, in-kernel
     # injection — the 894-tok/s step win pulled through the serving shape.
+    # Guarded separately: this one program killed the remote compiler in
+    # r4 and twice in r5 (broken pipe mid-compile, then a wedged pool) —
+    # the decode A/B numbers above must land even if it dies again.
+    try:
+        out.update(_orca_serving_tick(rtt, lp, llm_cfg, xp, ka, va,
+                                      Tmax, H, TA))
+    except Exception as e:  # noqa: BLE001
+        out["orca_serving_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
+def _orca_serving_tick(rtt, lp, llm_cfg, xp, ka, va, Tmax, H, TA):
+    import sys
+
     from desta25_audio_tpu.generate.decode import sample_token_dynamic
-    K = 8
+    from desta25_audio_tpu.models import llm as jllm
+    B, K = 8, 8
+    out = {}
     ci0 = (64 + 16 * jnp.arange(B, dtype=jnp.int32)) % 192
     mask0 = (jnp.arange(Tmax)[None, :] < ci0[:, None]).astype(jnp.int32)
     temp = jnp.full((B,), 0.7, jnp.float32)

@@ -19,7 +19,9 @@ down.  Ladder, least -> most suspicious:
   v4  v1 + injection, scalar ci (positions/cache_index scalars)
   v5  the full combo = bench_orca_decode's tick verbatim
 
-Usage: python scripts/bisect_orca_tick.py v1|v2|v3|v4|v5
+Usage: python scripts/bisect_orca_tick.py v1|v2|v3|v4|v5 [Tmax]
+(Tmax default 256 = bench shape; the engine's working ORCA program
+runs the same combo at S=384, so "v5 384" isolates the S dependence.)
 Prints "<variant> ok compile=<s> step=<s>" or raises.
 """
 import faulthandler
@@ -92,7 +94,7 @@ if inject:
 else:
     fspec0 = None
 
-Tmax = 256
+Tmax = int(sys.argv[2]) if len(sys.argv) > 2 else 256
 t_idx = jnp.arange(Tmax)
 temp = jnp.full((B,), 0.7, jnp.float32)
 top_p = jnp.full((B,), 0.9, jnp.float32)
