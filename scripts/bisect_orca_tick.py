@@ -51,6 +51,14 @@ from desta25_audio_tpu.utils.fast_init import random_tree_like
 
 faulthandler.dump_traceback_later(120, repeat=True, file=sys.stderr)
 
+# TPU-only: the env pins jax_platforms to "axon,cpu" regardless of
+# JAX_PLATFORMS=cpu (CLAUDE.md), so a "CPU sanity run" of this script
+# actually claims the chip and executes a 4B model on it — and killing
+# it mid-remote-compile wedges the tunnel.  Refuse to run elsewhere.
+assert jax.default_backend() == "tpu", (
+    f"bisect probes are TPU-only (backend={jax.default_backend()}); "
+    "trace/lowering repros live in the round-5 notes, not here")
+
 VARIANT = sys.argv[1] if len(sys.argv) > 1 else "v1"
 B, CTX, TA = 8, 192, 440
 K = 1 if VARIANT == "v3" else 8
