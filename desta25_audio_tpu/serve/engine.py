@@ -303,6 +303,15 @@ class ContinuousBatchingEngine:
         self._spec_off = 1.12       # fallback: EMA below this -> plain
         self._spec_on = 1.35        # fallback: probe >= this -> spec
         self._spec_reprobe = 24     # plain ticks between spec probes
+        # Each FAILED probe doubles the next probe interval (cap 16x =
+        # 384 ticks): a probe is not free — entering/leaving spec mode
+        # drains the pipelined in-flight tick twice and resyncs the
+        # n-gram history, so probing a workload that keeps refusing
+        # speculation every 24 ticks taxed spec-enabled engines ~25% on
+        # random text (r5 load bench: 324 vs 429 tok/s no-spec).  A
+        # successful probe or a live->off transition resets the backoff
+        # (fresh evidence the workload changed).
+        self._reprobe_backoff = 1
         self._spec_ema = self._spec_on  # optimistic start: try spec
         self._spec_live = True
         self._spec_probing = False
@@ -322,6 +331,10 @@ class ContinuousBatchingEngine:
         self._ci_dev = jnp.zeros((n_slots,), jnp.int32)
         self._pos_dev = jnp.zeros((n_slots,), jnp.int32)
         self._inflight = None  # (kind, payload, [(slot, req)], ...)
+        # pipelined admissions whose first-token fetch is deferred to
+        # the consume phase: [(slots, reqs, device_tok)]
+        self._pending_admits: List[Tuple[List[int], List[_Request],
+                                         Any]] = []
 
         # per-slot n-gram history (device-resident across ticks); slack
         # covers the worst-case device overshoot within one tick
@@ -660,17 +673,18 @@ class ContinuousBatchingEngine:
         dispatching a new one, returning request ids it finished.  The
         chained device state is untouched, so a subsequent step() resumes
         the identical trajectory.  No-op for sequential engines."""
+        fin0 = self._drain_pending_admits()
         if self._inflight is None:
-            return []
+            return fin0
         kind, *payload = self._inflight
         self._inflight = None
         payload.pop()  # admission marker; no duration sampling here
         if kind == "spec":
             outs, ms, slot_reqs = payload
-            return self._consume_spec_tick(
+            return fin0 + self._consume_spec_tick(
                 slot_reqs, np.asarray(outs), np.asarray(ms),
                 self.slot_pos.copy())
-        return self._consume_tick(*payload)
+        return fin0 + self._consume_tick(*payload)
 
     def cancel(self, rid: int) -> bool:
         """Cancel a queued or running request.  Tokens generated so far
@@ -791,11 +805,20 @@ class ContinuousBatchingEngine:
                 :, sl, :self._inject_len].set(inj_k[:, :R])
             self.inject_v = self.inject_v.at[
                 :, sl, :self._inject_len].set(inj_v[:, :R])
-        tok = np.asarray(tok)
-        last_pos = np.asarray(last_pos)
+        # the post-prefill rope position is host-derivable (last real
+        # position = ctx_len - 1, exactly what _prefill returns); the
+        # sampled first token is the ONLY device-only admission state.
+        # Pipelined engines therefore never block on the prefill fetch:
+        # device mirrors are patched with the device-resident token and
+        # the host-side bookkeeping (req.tokens / stop checks / stream
+        # callback) is deferred to the consume phase, where the fetch
+        # overlaps the already-dispatched tick's device time (r5 load
+        # bench: the blocking fetch cost ~15% sustained throughput).
+        last_pos_h = np.maximum(mask.sum(axis=1) - 1, 0).astype(np.int32)
         if self.speculative_k:
-            # seed the n-gram history: [context-with-transcription ids |
-            # first sampled token]
+            # seed the n-gram history: [context-with-transcription ids]
+            # host-side, then the first sampled token appended by a
+            # device scatter (no host fetch)
             hcap = self.hist.shape[1]
             seeds = np.zeros((R, hcap), np.int32)
             lens = np.zeros(R, np.int32)
@@ -803,11 +826,12 @@ class ContinuousBatchingEngine:
                 ids = (req.prompt_ids if req.prompt_ids is not None
                        else np.zeros(0, np.int32))
                 seeds[i, :len(ids)] = ids
-                seeds[i, len(ids)] = int(tok[i])
-                lens[i] = len(ids) + 1
+                lens[i] = len(ids)
             sl_arr = jnp.asarray(slots)
             self.hist = self.hist.at[sl_arr].set(jnp.asarray(seeds))
-            self.hlen = self.hlen.at[sl_arr].set(jnp.asarray(lens))
+            self.hist = self.hist.at[
+                sl_arr, jnp.asarray(lens)].set(tok[:R])
+            self.hlen = self.hlen.at[sl_arr].set(jnp.asarray(lens) + 1)
         for i, (req, s) in enumerate(zip(reqs, slots)):
             req.slot = s
             self.slot_req[s] = req
@@ -815,29 +839,56 @@ class ContinuousBatchingEngine:
             self.slot_mask[s, :Tb] = mask[i]
             self.slot_pos[s] = Tb
             self.slot_decode_start[s] = Tb
-            self.slot_rope[s] = int(last_pos[i]) + 1
+            self.slot_rope[s] = int(last_pos_h[i]) + 1
             self.slot_temp[s] = req.temperature
             self.slot_top_p[s] = req.top_p
             self.slot_sample[s] = req.do_sample
             self.inject_on[s] = on[i]
-            t = int(tok[i])
+        self._n_admissions += 1
+        if self.pipeline_ticks:
+            # patch the device-resident slot state for the admitted
+            # slots (continuing slots keep their device-chained values)
+            sl_d = jnp.asarray(slots)
+            self._cur_dev = self._cur_dev.at[sl_d].set(tok[:R])
+            self._ci_dev = self._ci_dev.at[sl_d].set(Tb)
+            self._pos_dev = self._pos_dev.at[sl_d].set(
+                jnp.asarray(last_pos_h[:R]) + 1)
+            self._pending_admits.append((list(slots), list(reqs), tok))
+        else:
+            self._apply_admit_tokens(slots, reqs, np.asarray(tok))
+
+    def _apply_admit_tokens(self, slots, reqs, tokh) -> List[int]:
+        """Token-dependent admission bookkeeping: record each admitted
+        request's first sampled token, stream it, and run stop checks.
+        Called inline (sequential engines) or from the deferred-drain
+        path (pipelined engines).  Returns finished request ids."""
+        finished: List[int] = []
+        for i, (req, s) in enumerate(zip(reqs, slots)):
+            if req.done or self.slot_req[s] is not req:
+                continue  # retired (deadline/cancel) before the drain
+            t = int(tokh[i])
             req.tokens.append(t)
             if self.on_token is not None:
                 self.on_token(req.rid, t)
             self.cur_tok[s] = t
             fin = self._check_stop(req, t)
             if fin:
+                finished.append(req.rid)
                 self._finish(s, fin)
-        self._n_admissions += 1
-        if self.pipeline_ticks:
-            # patch the device-resident slot state for the admitted
-            # slots (continuing slots keep their device-chained values)
-            sl_d = jnp.asarray(slots)
-            self._cur_dev = self._cur_dev.at[sl_d].set(
-                jnp.asarray(tok[:R].astype(np.int32)))
-            self._ci_dev = self._ci_dev.at[sl_d].set(Tb)
-            self._pos_dev = self._pos_dev.at[sl_d].set(
-                jnp.asarray(last_pos[:R].astype(np.int32)) + 1)
+        return finished
+
+    def _drain_pending_admits(self) -> List[int]:
+        """Fetch the deferred first tokens of pipelined admissions and
+        apply their host bookkeeping.  Runs in the consume phase (after
+        the next tick has been dispatched) so the fetch blocks on device
+        time the pipeline already paid for; also before anything that
+        reads authoritative host token state (flush, spec resync)."""
+        finished: List[int] = []
+        for slots, reqs, tok in self._pending_admits:
+            finished += self._apply_admit_tokens(slots, reqs,
+                                                 np.asarray(tok))
+        self._pending_admits = []
+        return finished
 
     def _admit_queued(self):
         """Admit queued requests into free slots — requests sharing the
@@ -888,7 +939,7 @@ class ContinuousBatchingEngine:
             if not self._spec_live:
                 self._ticks_since_probe += 1
                 if active and self._ticks_since_probe \
-                        >= self._spec_reprobe:
+                        >= self._spec_reprobe * self._reprobe_backoff:
                     self._spec_live = True
                     self._spec_probing = True
                     self._ticks_since_probe = 0
@@ -911,7 +962,14 @@ class ContinuousBatchingEngine:
             active = [s for s in range(self.n_slots)
                       if self.slot_req[s] is not None]
         if use_spec and self._hist_dirty and active:
-            self._resync_spec_state(active)
+            # the resync rebuilds hist/cur mirrors from req.tokens —
+            # deferred admission tokens must land first (a drained
+            # first-token stop can also retire a slot)
+            expired += self._drain_pending_admits()
+            active = [s for s in range(self.n_slots)
+                      if self.slot_req[s] is not None]
+            if active:
+                self._resync_spec_state(active)
             self._hist_dirty = False
         outs = ms = None
         K = self.steps_per_tick
@@ -1004,8 +1062,18 @@ class ContinuousBatchingEngine:
                         self.slot_rope[s] += K
                     new_inflight = ("plain", outs, slot_reqs, write_pos,
                                     self._n_admissions)
+            # pendings admitted before this dispatch drain NOW (their
+            # prefill preceded the just-dispatched tick on device, so
+            # the fetch overlaps device time already paid for);
+            # post-dispatch admissions below queue behind the new tick
+            # and drain at the NEXT consume
+            pending = self._pending_admits
+            self._pending_admits = []
             self._admit_queued()
             finished = []
+            for p_slots, p_reqs, p_tok in pending:
+                finished += self._apply_admit_tokens(p_slots, p_reqs,
+                                                     np.asarray(p_tok))
             if self._inflight is not None:
                 kind, *payload = self._inflight
                 n_adm0 = payload.pop()
@@ -1166,16 +1234,20 @@ class ContinuousBatchingEngine:
         off_bar = be * 0.98 if be is not None else self._spec_off
         on_bar = be * 1.10 if be is not None else self._spec_on
         if self._spec_probing:
-            # probe verdict: stay speculative only on clear wins
+            # probe verdict: stay speculative only on clear wins; a
+            # refused probe backs off exponentially (see __init__)
             self._spec_probing = False
             self._spec_live = rate >= on_bar
             self._spec_ema = max(rate, on_bar)
+            self._reprobe_backoff = (1 if self._spec_live else
+                                     min(self._reprobe_backoff * 2, 16))
         else:
             self._spec_ema = 0.7 * self._spec_ema + 0.3 * rate
             if self._spec_live and self._spec_ema < off_bar:
                 self._spec_live = False
                 self._ticks_since_probe = 0
                 self._spec_ema = on_bar
+                self._reprobe_backoff = 1
 
     def _record_tick_dur(self, kind: str, dt: float, clean: bool):
         """EMA of the consume fetch-block time per tick kind — the

@@ -525,6 +525,33 @@ def test_engine_adaptive_spec_cost_aware_break_even(model):
     assert not eng._spec_live  # 1.8 < 2.2 probe bar stays off
 
 
+def test_engine_adaptive_spec_probe_backoff(model):
+    """Failed probes back off exponentially (each refusal doubles the
+    next probe interval, capped), a successful probe or a live->off
+    transition resets it — so a spec-enabled engine on a
+    non-repetitive workload converges to near-zero probe overhead
+    (r5 load bench: probing every 24 ticks cost ~25% throughput)."""
+    eng = ContinuousBatchingEngine(model, n_slots=2, max_ctx=64,
+                                   max_new_tokens=4, ctx_bucket=64)
+    eng.adaptive_spec = True  # decision math is model-independent
+    assert eng._reprobe_backoff == 1
+    eng._spec_live, eng._spec_probing = True, True
+    eng._spec_controller_update(1.0)      # probe refused (static bars)
+    assert not eng._spec_live and eng._reprobe_backoff == 2
+    for expect in (4, 8, 16, 16):         # doubles, then caps at 16
+        eng._spec_probing = True
+        eng._spec_controller_update(1.0)
+        assert eng._reprobe_backoff == expect
+    eng._spec_probing = True
+    eng._spec_controller_update(3.0)      # probe passes
+    assert eng._spec_live and eng._reprobe_backoff == 1
+    # live -> off on a sinking EMA also resets the backoff
+    eng._reprobe_backoff = 8
+    eng._spec_ema = 1.0
+    eng._spec_controller_update(0.0)
+    assert not eng._spec_live and eng._reprobe_backoff == 1
+
+
 def test_engine_speculative_fallback_when_unsupported(model):
     """f32 weights/cache can't run the fused verify kernel (bf16
     towers now can — the kernel streams bf16 weights too): the engine
