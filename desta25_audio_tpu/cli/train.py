@@ -190,6 +190,10 @@ def main(argv=None):
     # device query; scripts/train_multihost.sh sets the env
     from ..parallel.distributed import maybe_initialize
     maybe_initialize()
+    # persistent compilation cache (feature-keyed on CPU): debug/CI runs
+    # of the same config recompile the full train program otherwise
+    from ..utils.compilation_cache import setup_compilation_cache
+    setup_compilation_cache()
     level = logging.INFO if jax.process_index() == 0 else logging.WARNING
     logging.basicConfig(
         level=level,

@@ -29,30 +29,18 @@ if os.environ.get("DESTA_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache — XLA CPU compiles of scanned towers dominate
-# test wall-clock otherwise.  CPU entries are AOT-compiled for the build
-# host's exact CPU features and the cache key does NOT include them: loading
-# another host's entry warns "could lead to execution errors such as SIGILL"
-# and can silently miscompute.  Key the CPU cache dir by the host's feature
-# set so a driver host swap starts a fresh cache (TPU entries keep the flat
-# .jax_cache used by bench.py).
-_cache_root = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-if os.environ.get("DESTA_TEST_TPU") != "1":
-    import hashlib
+# test wall-clock otherwise (CPU entries feature-keyed: see
+# utils/compilation_cache).  cache_everything: profiling one spec-serving
+# test showed 47 small (~0.2 s) CPU compiles = ~10 s/test never cached
+# under the default 1 s threshold; across the suite that is minutes of
+# re-compiling identical engine/decode programs every run.
+from desta25_audio_tpu.utils.compilation_cache import (  # noqa: E402
+    setup_compilation_cache,
+)
 
-    try:
-        with open("/proc/cpuinfo") as f:
-            _flags = next((ln for ln in f if ln.startswith("flags")), "")
-    except OSError:
-        _flags = ""
-    _cache_root = os.path.join(
-        _cache_root, "cpu-" + hashlib.sha1(_flags.encode()).hexdigest()[:12])
-jax.config.update("jax_compilation_cache_dir", _cache_root)
-# Cache EVERY compile: profiling one spec-serving test showed 47 small
-# (~0.2 s) CPU compiles = ~10 s/test never cached under the 0.5 s
-# threshold; across the suite that is minutes of re-compiling identical
-# engine/decode programs every run.
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+setup_compilation_cache(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    cache_everything=True)
 
 
 @pytest.fixture()
