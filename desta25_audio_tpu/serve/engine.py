@@ -828,10 +828,17 @@ class ContinuousBatchingEngine:
                 seeds[i, :len(ids)] = ids
                 lens[i] = len(ids)
             sl_arr = jnp.asarray(slots)
-            self.hist = self.hist.at[sl_arr].set(jnp.asarray(seeds))
-            self.hist = self.hist.at[
-                sl_arr, jnp.asarray(lens)].set(tok[:R])
-            self.hlen = self.hlen.at[sl_arr].set(jnp.asarray(lens) + 1)
+            lens_d = jnp.asarray(lens)
+            # merge the device token at each row's length elementwise —
+            # a [R]x[R] diagonal scatter would be a NEW program shape
+            # per admission group (and a remote-compile risk); the row
+            # scatter below is the same program family admissions have
+            # always used
+            seeded = jnp.asarray(seeds) + (
+                jnp.arange(hcap)[None, :] == lens_d[:, None]
+            ) * tok[:R, None]
+            self.hist = self.hist.at[sl_arr].set(seeded)
+            self.hlen = self.hlen.at[sl_arr].set(lens_d + 1)
         for i, (req, s) in enumerate(zip(reqs, slots)):
             req.slot = s
             self.slot_req[s] = req
