@@ -193,10 +193,14 @@ def test_sequence_parallel_train_step_matches(rng):
     }
 
     losses = {}
+    # one init serves both arms; per-arm deep copies keep the train
+    # step's donation away from model.params (apply_sharding is a no-op
+    # copy-wise when the spec matches the current placement)
+    model = DeSTA25AudioModel(cfg, seed=0)
     for sp in (False, True):
-        model = DeSTA25AudioModel(cfg, seed=0)
         with use_mesh(mesh):
-            trainable, frozen = model.split_params()
+            trainable, frozen = jax.tree.map(jnp.array,
+                                             model.split_params())
             frozen = {
                 "llm": apply_sharding(frozen["llm"],
                                       llm_partition_specs(frozen["llm"])),
@@ -274,12 +278,15 @@ def test_orca_fsdp_train_step(rng):
 
     losses = {}
     shard_counts = {}
+    # one init serves both arms; per-arm deep copies keep the train
+    # step's donation away from model.params
+    model = DeSTA25AudioModel(cfg, seed=0)
     for on_mesh in (False, True):
-        model = DeSTA25AudioModel(cfg, seed=0)
         optimizer = make_optimizer(OptimizerConfig(
             lr=1e-3, warmup_steps=1, total_steps=10))
         step = make_train_step(cfg, optimizer)
-        trainable, frozen = model.split_params()
+        trainable, frozen = jax.tree.map(jnp.array,
+                                         model.split_params())
         if not on_mesh:
             opt_state = optimizer.init(trainable)
             _, _, metrics = step(trainable, frozen, opt_state,
