@@ -100,6 +100,7 @@ class ContinuousBatchingEngine:
                  steps_per_tick: int = 8, on_token=None,
                  speculative_k: int = 0,
                  adaptive_spec: bool = True,
+                 spec_quiet_ticks: int = 4,
                  on_overflow: str = "error",
                  pipeline_ticks: bool = True,
                  audio_cache: int = 64):
@@ -137,6 +138,17 @@ class ContinuousBatchingEngine:
         whose in-kernel injection attends the audio K/V at every draft
         position.  Token trajectories are mode-invariant; set
         adaptive_spec=False to force speculation on every tick.
+
+        spec_quiet_ticks (default 4, adaptive engines only): spec ticks
+        additionally require this many consecutive dispatches with no
+        pending queue and no admission.  Admission-bound workloads
+        (steady arrivals) cannot profit from speculation — the tick
+        count is set by the arrival schedule, so verify cost and
+        mode-switch drains are pure loss (r5 load benches: ORCA
+        --spec=4 138 vs 378 tok/s, plain 446 vs 477) — while saturated
+        drain workloads go quiet right after their admission burst and
+        keep the ~3x repetitive-workload win.  0 disables the gate
+        except on the admission tick itself.
 
         on_overflow: "error" (default) rejects submissions whose context
         exceeds ``max_ctx`` with ValueError; "truncate" clips the left
@@ -292,6 +304,7 @@ class ContinuousBatchingEngine:
         # invariant, so switching is correctness-free; only drafting
         # efficiency is at stake.
         self.adaptive_spec = bool(adaptive_spec) and self.speculative_k >= 2
+        self.spec_quiet_ticks = int(spec_quiet_ticks)
         # Break-even is COST-AWARE: a spec tick emits acc*K tokens in
         # T_spec where a plain tick emits K in T_plain, so speculation
         # wins iff acc > T_spec/T_plain — ~1.05 for a bare verify kernel
@@ -311,10 +324,34 @@ class ContinuousBatchingEngine:
         # random text (r5 load bench: 324 vs 429 tok/s no-spec).  A
         # successful probe or a live->off transition resets the backoff
         # (fresh evidence the workload changed).
+        # Arrival-awareness (r5 load benches): on a steady-arrival
+        # workload the tick budget is ADMISSION-bound — 48 requests at
+        # ~1 admission/tick need ~45 ticks no matter how many tokens a
+        # verify tick accepts — so speculation cannot raise sustained
+        # throughput; it only adds verify cost and collides its mode-
+        # switch drains with admissions (ORCA --spec=4: 138 vs 378
+        # tok/s with acceptance ~2 sitting right at the cost-aware bar;
+        # plain --spec=4: 446 vs 477).  An adaptive engine therefore
+        # speculates only when QUIET: spec ticks require
+        # > spec_quiet_ticks consecutive dispatches with no pending
+        # queue and no admission.  Saturated drain workloads (the 3x
+        # repetitive win) go quiet right after their admission burst and
+        # keep the win; steady-arrival workloads pin the no-spec
+        # baseline.  adaptive_spec=False bypasses the gate (forced
+        # speculation every tick).
+        self._quiet_ticks = 0
         self._reprobe_backoff = 1
-        self._spec_ema = self._spec_on  # optimistic start: try spec
+        self._spec_ema = self._spec_on
+        # Optimistic start, but as a PROBE: the first spec tick gets the
+        # one-tick probe verdict (refused -> plain mode + backoff)
+        # instead of waiting for the EMA to decay from the optimistic
+        # seed — on random text the decay took ~5 spec ticks plus two
+        # pipeline drains each (r5 load bench: 9 of 90 ticks ran
+        # speculative, 445.6 vs 477.0 tok/s no-spec = 6.6% tax; a
+        # repetitive workload passes the first-tick verdict and stays
+        # live, so the 'keep trying' upside is preserved).
         self._spec_live = True
-        self._spec_probing = False
+        self._spec_probing = True
         self._hist_dirty = False    # plain ticks skip n-gram upkeep
         self._ticks_since_probe = 0
         self._ticks_since_plain_probe = 0
@@ -852,6 +889,7 @@ class ContinuousBatchingEngine:
             self.slot_sample[s] = req.do_sample
             self.inject_on[s] = on[i]
         self._n_admissions += 1
+        self._quiet_ticks = 0  # admission: the engine is not quiet
         if self.pipeline_ticks:
             # patch the device-resident slot state for the admitted
             # slots (continuing slots keep their device-chained values)
@@ -925,6 +963,10 @@ class ContinuousBatchingEngine:
         #5); admitted requests join the next tick.  Returns request ids
         finished during this tick."""
         expired = self._expire_deadlines()
+        # quiet-tick counter for the arrival-aware speculation gate (see
+        # __init__): a pending queue at dispatch (or any admission —
+        # _admit resets it) marks the tick as non-quiet
+        self._quiet_ticks = 0 if self.queue else self._quiet_ticks + 1
         if self.pipeline_ticks and self.queue:
             # VERDICT r4 #7: admit pending arrivals BEFORE dispatching the
             # lookahead tick so a new request's first decode rides THIS
@@ -942,7 +984,13 @@ class ContinuousBatchingEngine:
         # while speculating occasionally run one plain calibration tick
         # to keep the spec-vs-plain cost ratio measured (see __init__)
         use_spec = bool(self.speculative_k)
-        if use_spec and self.adaptive_spec:
+        if use_spec and self.adaptive_spec \
+                and self._quiet_ticks <= self.spec_quiet_ticks:
+            # arrivals in flight: admission-bound ticks can't profit
+            # from speculation (see __init__) — force plain, leave the
+            # controller state (EMA / probe clocks) untouched
+            use_spec = False
+        elif use_spec and self.adaptive_spec:
             if not self._spec_live:
                 self._ticks_since_probe += 1
                 if active and self._ticks_since_probe \

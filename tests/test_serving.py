@@ -400,7 +400,7 @@ def test_engine_speculative_matches_plain_ticks(
     spec = ContinuousBatchingEngine(spec_model, n_slots=2, max_ctx=64,
                                     max_new_tokens=SPEC_MAX_NEW,
                                     ctx_bucket=64, speculative_k=3,
-                                    steps_per_tick=3)
+                                    steps_per_tick=3, spec_quiet_ticks=0)
     assert spec.speculative_k == 3  # eligible, not silently disabled
     sr = [spec.submit(q) for q in reqs]
     sres = spec.run_until_done()
@@ -421,8 +421,8 @@ def test_engine_speculative_mixed_sampling(
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
     spec = ContinuousBatchingEngine(spec_model, n_slots=2, max_ctx=64,
                                     max_new_tokens=SPEC_MAX_NEW,
-                                    ctx_bucket=64, speculative_k=3,
-                                    steps_per_tick=3, seed=3)
+                                    ctx_bucket=64, speculative_k=3, seed=3,
+                                    steps_per_tick=3, spec_quiet_ticks=0)
     sg = spec.submit(_msgs(wavs[0], 0))
     ss = spec.submit(_msgs(wavs[1], 1), temperature=1.1, top_p=0.9,
                      do_sample=True)
@@ -441,8 +441,8 @@ def test_engine_speculative_sampled_tiny_temp_matches_greedy(
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
     spec = ContinuousBatchingEngine(spec_model, n_slots=2, max_ctx=64,
                                     max_new_tokens=SPEC_MAX_NEW,
-                                    ctx_bucket=64, speculative_k=3,
-                                    steps_per_tick=3, seed=5)
+                                    ctx_bucket=64, speculative_k=3, seed=5,
+                                    steps_per_tick=3, spec_quiet_ticks=0)
     ss = spec.submit(_msgs(wavs[0], 0), temperature=1e-4, top_p=1.0,
                      do_sample=True)
     sres = spec.run_until_done()
@@ -466,6 +466,7 @@ def test_engine_adaptive_spec_mode_flips_preserve_trajectory(
                                        max_new_tokens=8, ctx_bucket=64,
                                        speculative_k=3, steps_per_tick=2,
                                        adaptive_spec=adaptive,
+                                       spec_quiet_ticks=0,
                                        pipeline_ticks=pipeline)
         assert eng.speculative_k == 3
         if adaptive:
@@ -552,6 +553,30 @@ def test_engine_adaptive_spec_probe_backoff(model):
     assert not eng._spec_live and eng._reprobe_backoff == 1
 
 
+def test_engine_spec_quiet_gate(spec_model, plain_spec_baseline, wavs,
+                                monkeypatch):
+    """Arrival-aware gate (r5 load benches): an adaptive engine forces
+    plain ticks until spec_quiet_ticks consecutive dispatches saw no
+    queue/admission — on admission-bound workloads speculation cannot
+    raise throughput (48 steady arrivals need ~45 ticks regardless of
+    acceptance) and its mode-switch drains collide with admissions
+    (ORCA --spec=4: 138 vs 378 tok/s).  The gate must leave the
+    trajectory exactly plain-greedy, then really resume speculating
+    once quiet."""
+    monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
+    monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
+    eng = ContinuousBatchingEngine(spec_model, n_slots=2, max_ctx=64,
+                                   max_new_tokens=SPEC_MAX_NEW,
+                                   ctx_bucket=64, speculative_k=3,
+                                   steps_per_tick=1, spec_quiet_ticks=1)
+    rid = eng.submit(_msgs(wavs[0], 0))
+    res = eng.run_until_done()
+    assert res[rid] == plain_spec_baseline[0]
+    # the admission tick (+1 quiet warmup) ran plain, later ticks spec
+    assert eng._n_plain_ticks >= 2, eng._n_plain_ticks
+    assert eng._n_spec_ticks >= 1, eng._n_spec_ticks
+
+
 def test_engine_speculative_fallback_when_unsupported(model):
     """f32 weights/cache can't run the fused verify kernel (bf16
     towers now can — the kernel streams bf16 weights too): the engine
@@ -603,6 +628,7 @@ def test_engine_pipelined_spec_matches_sequential(
         eng = ContinuousBatchingEngine(m, n_slots=2, max_ctx=64,
                                        max_new_tokens=5, ctx_bucket=64,
                                        speculative_k=3, steps_per_tick=2,
+                                       spec_quiet_ticks=0,
                                        pipeline_ticks=pipeline)
         assert eng.speculative_k == 3
         rids = [eng.submit(q) for q in reqs]
