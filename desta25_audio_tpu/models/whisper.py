@@ -183,12 +183,14 @@ def _enc_self_attn(p: Params, x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
     # the W8A8 kernels run only where they win — small batch (B=1 TTFT:
     # 13.8 vs 15.2 ms) — while batched perception keeps the bf16 packed
     # path (b8: 120.6 vs 122.5 ms).  Crossover batch is the trace-time
-    # constant DESTA_ENC_ATTN_INT8_MAXB (default from the v5e sweep in
-    # scripts/sweep_attn_int8_crossover.py).
+    # constant DESTA_ENC_ATTN_INT8_MAXB (v5e sweep, dual-tree arms,
+    # scripts/sweep_attn_int8_crossover.py 2026-08-21: int8 wins at
+    # B=1 [-0.56 ms] and B=2 [-1.35], loses at B=4 [+0.83] and
+    # B=8 [+1.80] -> crossover between 2 and 4).
     use_int8_attn = is_quantized(p["q"]) and (
         "w" not in p["q"]  # pure-int8 leaves: no bf16 arm to fall back to
         or x.shape[0] <= int(os.environ.get("DESTA_ENC_ATTN_INT8_MAXB",
-                                            "1")))
+                                            "2")))
     if use_int8_attn:
         # encoder_quant="int8" with attention projections quantized: the
         # fused-quant kernels (ops/w8a8_proj.py) do the per-row act quant

@@ -65,6 +65,10 @@ ADAPTIVE = "--no-adaptive" not in sys.argv[1:]
 # bigram drafter accepts ~Kd tokens/step (same proxy as
 # scripts/bench_serving_spec.py's scale=0.001 workload)
 REPETITIVE = "--repetitive" in sys.argv[1:]
+# --burst: submit every request up front (saturated drain, no arrival
+# schedule) — the regime where the adaptive engine's quiet gate lets
+# speculation resume after the admission burst (r5)
+BURST = "--burst" in sys.argv[1:]
 N_SLOTS = int(ARGS[0]) if len(ARGS) > 0 else 8
 N_REQUESTS = int(ARGS[1]) if len(ARGS) > 1 else 48
 MAX_NEW = 48
@@ -172,8 +176,9 @@ def main():
         burst_t.clear()
         submit_t = {}
         pending = list(range(N_REQUESTS))
-        first = pending[:N_SLOTS]
-        pending = pending[N_SLOTS:]
+        nfirst = len(pending) if BURST else N_SLOTS
+        first = pending[:nfirst]
+        pending = pending[nfirst:]
         t_start = time.time()
         ts = time.time()
         for rid in eng.submit_many([msgs(i) for i in first]):
