@@ -78,9 +78,14 @@ def orca_to_ref(trainable: Dict[str, Any],
         for i in range(n):
             li = jax.tree.map(lambda x: np.asarray(x, np.float32)[i], layers)
             pre = f"orca_cross_attns.{i}"
-            # torch MHA packs q/k/v into in_proj
+            # torch MHA packs q/k/v into in_proj.  concat(axis=1).T ==
+            # concat([q.T, k.T, v.T], axis=0) but copies contiguously
+            # and defers the transpose to a view — the .T-first version
+            # was 3 strided transpose copies per layer (~30 s for the
+            # 8B-scale 36-layer stack; save_file's ascontiguousarray
+            # pays the transpose only when actually writing)
             out[f"{pre}.cross_attn.in_proj_weight"] = np.concatenate(
-                [li["q"]["w"].T, li["k"]["w"].T, li["v"]["w"].T], axis=0)
+                [li["q"]["w"], li["k"]["w"], li["v"]["w"]], axis=1).T
             out[f"{pre}.cross_attn.in_proj_bias"] = np.concatenate(
                 [li["q"]["b"], li["k"]["b"], li["v"]["b"]], axis=0)
             out[f"{pre}.cross_attn.out_proj.weight"] = li["o"]["w"].T

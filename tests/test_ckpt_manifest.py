@@ -34,6 +34,19 @@ def _shape_only_tree(init_fn):
         lambda s: np.broadcast_to(zero.astype(s.dtype), s.shape), shapes)
 
 
+def _shape_only_concat(arrays, axis=0):
+    """Shape-faithful stand-in for np.concatenate.  This host copies
+    memory at ~140 MB/s (VM-throttled), so the 8B-scale in_proj packing
+    (6 GB across 32 layers) costs ~45 s of pure memcpy per suite run —
+    and this module only asserts KEYS and SHAPES.  Value fidelity of
+    the same export path is pinned at nano scale by
+    tests/test_orca.py::test_orca_checkpoint_roundtrip."""
+    arrays = list(arrays)
+    shp = list(arrays[0].shape)
+    shp[axis] = sum(a.shape[axis] for a in arrays)
+    return np.broadcast_to(np.zeros((), arrays[0].dtype), tuple(shp))
+
+
 def _assert_matches_manifest(sd, manifest_name):
     manifest = json.load(open(os.path.join(FIXTURES, manifest_name)))
     got = {k: list(np.asarray(v).shape) for k, v in sd.items()}
@@ -63,7 +76,8 @@ def test_qformer6l_llama8b_export_matches_published_format():
     _assert_matches_manifest(sd, "ckpt_manifest_qformer6l_llama8b.json")
 
 
-def test_orca6l_llama8b_export_matches_published_format():
+def test_orca6l_llama8b_export_matches_published_format(monkeypatch):
+    monkeypatch.setattr(np, "concatenate", _shape_only_concat)
     cfg = DeSTA25Config(
         llm_model_id="DeSTA-ntu/Llama-3.1-8B-Instruct",
         encoder_model_id="openai/whisper-large-v3",
