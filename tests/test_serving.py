@@ -484,7 +484,12 @@ def test_engine_adaptive_spec_mode_flips_preserve_trajectory(
 
     base, beng = run(False, False)
     assert beng._n_plain_ticks == 0  # always-on control never downgrades
-    for pipeline in (False, True):
+    # adaptive arm runs pipelined only (the default, and the harder
+    # case: mode switches drain the in-flight tick) — the sequential
+    # spec trajectory is pinned by
+    # test_engine_pipelined_spec_matches_sequential, and interpret-mode
+    # engine drains are the suite's most expensive unit (~17 s each)
+    for pipeline in (True,):
         texts, eng = run(True, pipeline)
         assert texts == base, (pipeline, texts, base)
         # the run really mixed modes: disabled after tick 1, then
