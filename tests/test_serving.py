@@ -620,27 +620,26 @@ def test_engine_pipelined_ticks_match_sequential(model, wavs):
 
 
 def test_engine_pipelined_spec_matches_sequential(
-        spec_model, wavs, monkeypatch):
+        spec_model, plain_spec_baseline, wavs, monkeypatch):
     """Pipelined speculative ticks (device-chained cache index / rope /
-    history) emit the same greedy trajectories as the sequential spec
-    engine, across slot reuse."""
+    history) emit the same greedy trajectories as plain ticks, across
+    slot reuse.  Comparing against the shared plain baseline also pins
+    pipelined == sequential spec transitively (sequential spec == the
+    same baseline in test_engine_speculative_matches_plain_ticks) with
+    ONE interpret-mode engine drain instead of two (~20 s)."""
     monkeypatch.setenv("DESTA_FUSED_DECODE", "1")
     monkeypatch.setenv("DESTA_FUSED_INTERPRET", "1")
     m = spec_model
     reqs = [_msgs(wavs[j % 3], j) for j in range(3)]
-
-    def run(pipeline):
-        eng = ContinuousBatchingEngine(m, n_slots=2, max_ctx=64,
-                                       max_new_tokens=5, ctx_bucket=64,
-                                       speculative_k=3, steps_per_tick=2,
-                                       spec_quiet_ticks=0,
-                                       pipeline_ticks=pipeline)
-        assert eng.speculative_k == 3
-        rids = [eng.submit(q) for q in reqs]
-        res = eng.run_until_done()
-        return [res[r] for r in rids]
-
-    assert run(True) == run(False)
+    eng = ContinuousBatchingEngine(m, n_slots=2, max_ctx=64,
+                                   max_new_tokens=SPEC_MAX_NEW,
+                                   ctx_bucket=64, speculative_k=3,
+                                   steps_per_tick=2, spec_quiet_ticks=0,
+                                   pipeline_ticks=True)
+    assert eng.speculative_k == 3
+    rids = [eng.submit(q) for q in reqs]
+    res = eng.run_until_done()
+    assert [res[r] for r in rids] == plain_spec_baseline
 
 
 def test_engine_cancel_and_deadline(model, wavs):
