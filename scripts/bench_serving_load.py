@@ -72,6 +72,12 @@ BURST = "--burst" in sys.argv[1:]
 N_SLOTS = int(ARGS[0]) if len(ARGS) > 0 else 8
 N_REQUESTS = int(ARGS[1]) if len(ARGS) > 1 else 48
 MAX_NEW = 48
+for a in sys.argv[1:]:
+    # --max-new=N: generation budget per request (burst+spec regimes
+    # need long drains — at 48 tokens a plain engine drains 8 slots in
+    # 6 ticks and the quiet gate's warmup eats the verify win)
+    if a.startswith("--max-new"):
+        MAX_NEW = int(a.split("=", 1)[1])
 ARRIVAL_GROUP = 2        # requests per arrival batch
 ARRIVE_EVERY = 2         # ticks between arrival batches
 
